@@ -1,0 +1,137 @@
+"""Node canonicalization + edge materialization (SURVEY §2.5 A1/A2, §2.4 J1).
+
+Key design decision (scale): entity identity in the reference is
+``MERGE (n:Label {name: ...})`` backed by a per-label unique constraint
+(neo4j_loader.py:44-52,122). Instead of reproducing that as a lookup-join
+against a node dictionary, we define ``entity_id = xxhash64(label, name)`` —
+which turns every edge build into a pure projection (no join, no shuffle) and
+makes node identity stable across runs and partitionings. Collision risk at
+64 bits is ~n²/2⁶⁵; at 10¹⁰ entities that is ~0.003 — acceptable, and the
+(label, name) columns are retained so collisions are detectable.
+
+MERGE semantics replicated exactly (SURVEY §1.3):
+
+- last-write-wins props: ``SET n += row.props`` applied in write order ->
+  ``max_by(props, seq)`` per (label, name);
+- Neo4j ``+=`` *deletes* keys whose incoming value is null -> after picking
+  the winning record, ``map_filter`` drops null-valued entries;
+- stub nodes: MERGE on an edge tail creates a property-less node for unseen
+  names (neo4j_loader.py:137-147) -> triple endpoints are unioned in as
+  records with ``props = NULL, seq = -1`` so any SET record outranks them.
+
+Both aggregates are two-phase hash aggregations (partial map-side combine
+before the shuffle), so hot keys (the reference data's 乏力-like symptom
+fan-in, SURVEY §4) collapse before they cross the wire; AQE skew-join splits
+cover the residual.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_id(label, name):
+    """Stable 64-bit entity id; projection, not lookup (J1 chosen design)."""
+    return F.xxhash64(label, name)
+
+
+def node_records_from_source(
+    df: DataFrame, label: str, prop_cols: list[str], name_col: str = "name"
+) -> DataFrame:
+    """One MERGE+SET record per source row -> NODE_RECORDS rows.
+
+    ``props`` keeps null values on purpose: the null-deletes-key semantics of
+    ``+=`` must apply *after* last-write-wins picks the winning record.
+    """
+    props = F.create_map(
+        *chain.from_iterable((F.lit(c), F.col(c)) for c in prop_cols)
+    )
+    return df.filter(F.col(name_col).isNotNull()).select(
+        F.lit(label).alias("label"),
+        F.col(name_col).alias("name"),
+        props.alias("props"),
+        F.col("seq").alias("seq"),
+    )
+
+
+def stub_records_from_triples(triples: DataFrame) -> DataFrame:
+    """MERGE-created endpoint stubs: props NULL, seq -1 (always outranked)."""
+    null_props = F.lit(None).cast("map<string,string>")
+    subj = triples.select(
+        F.col("subj_type").alias("label"), F.col("subj").alias("name")
+    )
+    obj = triples.select(
+        F.col("obj_type").alias("label"), F.col("obj").alias("name")
+    )
+    return (
+        subj.unionByName(obj)
+        .select("label", "name", null_props.alias("props"), F.lit(-1).cast("long").alias("seq"))
+    )
+
+
+def canonicalize_nodes(records: DataFrame) -> DataFrame:
+    """A1: distinct (label, name) with last-write-wins, null-deleted props.
+
+    Two-phase hash aggregate; ``max_by`` keeps only one (props, seq) pair per
+    group on the map side, so duplicate-heavy sources don't inflate the
+    shuffle.
+    """
+    won = records.groupBy("label", "name").agg(
+        F.max_by("props", "seq").alias("props_raw")
+    )
+    clean = F.map_filter(
+        F.coalesce(F.col("props_raw"), F.from_json(F.lit("{}"), "map<string,string>")),
+        lambda _, v: v.isNotNull(),
+    )
+    return won.select(
+        entity_id(F.col("label"), F.col("name")).alias("entity_id"),
+        "label",
+        "name",
+        clean.alias("props"),
+    )
+
+
+def edges_from_triples(triples: DataFrame) -> DataFrame:
+    """A2 + J1: endpoint ids by hashing (projection), then distinct edges."""
+    return (
+        triples.select(
+            entity_id(F.col("subj_type"), F.col("subj")).alias("src_id"),
+            F.col("pred").alias("rel"),
+            entity_id(F.col("obj_type"), F.col("obj")).alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "rel", "dst_id"])
+    )
+
+
+def build_graph(
+    node_record_frames: list[DataFrame], triples: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """U1 + A1 + A2: union all sources' MERGE records with edge-endpoint
+    stubs, canonicalize, and materialize distinct edges."""
+    records = reduce(lambda a, b: a.unionByName(b), node_record_frames)
+    records = records.unionByName(stub_records_from_triples(triples))
+    return canonicalize_nodes(records), edges_from_triples(triples)
+
+
+def save_graph(
+    nodes: DataFrame, edges: DataFrame, out_dir: str, n_buckets: int = 32
+) -> None:
+    """S7: bucketed graph write.
+
+    Files are laid out by ``bucket = pmod(entity_id hash, n_buckets)`` (hidden
+    partitioning in Iceberg terms; plain parquet partitioning here since the
+    sandbox has no Iceberg catalog jars). Downstream src/dst joins read
+    co-bucketed files. ``overwrite`` keeps full rebuilds idempotent — the
+    declarative replacement for the reference's ``MATCH (n) DETACH DELETE n``
+    re-init (S9, neo4j_loader.py:26-31).
+    """
+    nodes.withColumn("bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_dir}/nodes")
+    edges.withColumn("bucket", F.pmod(F.col("src_id"), F.lit(n_buckets))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_dir}/edges")
