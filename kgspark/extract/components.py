@@ -1,0 +1,158 @@
+"""X7: surface-form canonicalization via join-based connected components.
+
+The reference canonicalizes by exact string match only and documents entity
+alignment ("恶性肿瘤-重度" vs "恶性肿瘤") as its known gap
+(Documents/2.16优化汇总.md:98). Here: deterministic normalization rules
+produce an alias-similarity edge list (surface form <-> normalized key);
+connected components over that edge list merge transitive chains of surface
+forms; the canonical name per component is the shortest original form.
+
+Connected components = iterative min-id label propagation, pure DataFrame
+joins (no GraphFrames dependency):
+
+    comp(v) <- min(comp(v), min_{u~v} comp(u))   until fixpoint
+
+Scale notes:
+- each iteration is one shuffle on the edge list + one aggregate; iterations
+  are bounded by the graph diameter — alias graphs are star-like (diameter
+  ~2-4), so 5-10 iterations suffice; ``max_iter`` guards pathological chains;
+- hot keys (a normalized key shared by millions of forms) are exactly the
+  AQE skew-join case — skewJoin is enabled in the session factory; the
+  aggregate side is two-phase (map-side partial min) so fan-in collapses
+  before the shuffle;
+- ``localCheckpoint`` every iteration cuts the exponentially growing lineage
+  (the classic iterative-join pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 15
+) -> DataFrame:
+    """(src, dst) long-id edge list -> (id, component) with component = min
+    node id in the component. Convergence-checked each iteration."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    comp = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate component per node = min over neighbors' components
+        nbr_min = (
+            sym.join(comp.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("a", "id")
+        )
+        new_comp = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_comp.filter(F.col("changed")).count()
+        comp = new_comp.drop("changed")
+        if n_changed == 0:
+            break
+    return comp
+
+
+# --- pinned normalization rules (the alias-similarity generator) -----------
+_SEVERITY_SUFFIX = r"[--—]\s*(重度|中度|轻度|早期|晚期|急性|慢性)$"
+_PAREN_SUFFIX = r"[（(][^（()）]*[)）]$"
+
+
+def normalized_forms(col):
+    """Deterministic normalization chain for a surface form.
+
+    Returns an array of progressively normalized variants (original first):
+    strip whitespace -> drop trailing severity qualifier -> drop trailing
+    parenthetical -> lowercase latin. Each adjacent pair becomes an
+    alias-similarity edge, so chains merge transitively.
+    """
+    base = F.trim(col)
+    no_sev = F.regexp_replace(base, _SEVERITY_SUFFIX, "")
+    no_paren = F.regexp_replace(no_sev, _PAREN_SUFFIX, "")
+    lowered = F.lower(no_paren)
+    return F.array_distinct(F.array(base, no_sev, no_paren, lowered))
+
+
+def canonical_surface_forms(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """(label, name) -> (label, name, canonical) within each label.
+
+    Blocking + CC: normalization variants generate the edge list (name <->
+    variant, both namespaced by label so components never cross labels);
+    components merge transitive chains; canonical = shortest original form
+    (ties broken lexicographically) in the component.
+    """
+    base = names.select("label", F.col(name_col).alias("name")).distinct()
+    variants = base.select(
+        "label", "name", F.explode(normalized_forms(F.col("name"))).alias("variant")
+    )
+    node_id = F.xxhash64("label", F.col("name"))
+    var_id = F.xxhash64("label", F.col("variant"))
+    edges = variants.select(node_id.alias("src"), var_id.alias("dst"))
+
+    comp = connected_components(edges)
+    labeled = base.select(
+        "label", "name", F.xxhash64("label", "name").alias("id")
+    ).join(comp, "id")
+    # canonical per component: shortest original surface form, then lexicographic
+    winners = labeled.groupBy("component").agg(
+        F.min(F.struct(F.length("name").alias("len"), F.col("name"))).alias("w")
+    )
+    return (
+        labeled.join(winners, "component")
+        .select("label", "name", F.col("w.name").alias("canonical"))
+    )
+
+
+def apply_canonicalization(
+    triples: DataFrame, mapping: DataFrame, types: tuple[str, ...] = ("Disease",)
+) -> DataFrame:
+    """Rewrite subj/obj of extracted triples to canonical surface forms.
+
+    ``mapping``: (label, name, canonical). Broadcast joins — the mapping is
+    entity-dictionary-sized, the triples are corpus-sized.
+    """
+    m = F.broadcast(mapping)
+    subj_m = m.select(
+        F.col("label").alias("subj_type"),
+        F.col("name").alias("subj"),
+        F.col("canonical").alias("subj_canon"),
+    )
+    obj_m = m.select(
+        F.col("label").alias("obj_type"),
+        F.col("name").alias("obj"),
+        F.col("canonical").alias("obj_canon"),
+    )
+    out = (
+        triples.join(subj_m, ["subj_type", "subj"], "left")
+        .join(obj_m, ["obj_type", "obj"], "left")
+        .withColumn(
+            "subj",
+            F.when(
+                F.col("subj_type").isin(*types) & F.col("subj_canon").isNotNull(),
+                F.col("subj_canon"),
+            ).otherwise(F.col("subj")),
+        )
+        .withColumn(
+            "obj",
+            F.when(
+                F.col("obj_type").isin(*types) & F.col("obj_canon").isNotNull(),
+                F.col("obj_canon"),
+            ).otherwise(F.col("obj")),
+        )
+    )
+    return out.drop("subj_canon", "obj_canon")

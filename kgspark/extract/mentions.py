@@ -1,0 +1,145 @@
+"""X6: dictionary/alias-trie mention detection + candidate-entity scoring.
+
+The reference's only "linking" is exact-name MERGE plus a fixed-keyword
+CONTAINS scan (neo4j_loader.py:122,254-266 — a handful of keywords, so a
+broadcast nested-loop join suffices there; see
+construct.triples.keyword_contains_join). At web scale the dictionary is
+10^4..10^6 aliases, so per-keyword scans are O(|dict| * corpus): instead one
+Aho-Corasick pass per document finds all alias hits in O(len(text)).
+
+The automaton is built once per Python worker from the broadcast alias list
+(lazy module-level cache keyed by the alias tuple's hash) and applied inside
+mapInPandas — Arrow batches in, (url, alias, label, name) hit rows out.
+
+Candidate scoring: an alias shared by entities of several labels (e.g. a
+drug name equal to a disease name) yields multiple candidates per hit;
+``score_candidates`` ranks candidates per alias by corpus frequency
+(argmax via two-phase count + max_by), the standard first-pass EL scorer.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class AhoCorasick:
+    """Minimal Aho-Corasick automaton over unicode chars (stdlib-only)."""
+
+    def __init__(self, patterns: list[str]) -> None:
+        # trie as list of dicts; outputs per node
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for p in patterns:
+            if not p:
+                continue
+            node = 0
+            for ch in p:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(p)
+        # BFS failure links
+        q: deque[int] = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != child else 0
+                self.out[child].extend(self.out[self.fail[child]])
+
+    def find_all(self, text: str) -> list[tuple[int, str]]:
+        """All (end_offset, pattern) matches, overlapping included."""
+        hits: list[tuple[int, str]] = []
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for p in self.out[node]:
+                hits.append((i, p))
+        return hits
+
+
+_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+
+
+def _automaton_for(aliases: tuple[str, ...]) -> AhoCorasick:
+    key = hash(aliases)
+    ac = _AUTOMATON_CACHE.get(key)
+    if ac is None:
+        ac = AhoCorasick(list(aliases))
+        _AUTOMATON_CACHE.clear()  # one dictionary per job; don't hoard old ones
+        _AUTOMATON_CACHE[key] = ac
+    return ac
+
+
+def detect_mentions(pages: DataFrame, alias_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, text) x alias dict -> one row per alias hit per document.
+
+    ``alias_df``: (alias, label, name) — alias is the surface form, (label,
+    name) the candidate entity. Dimension-scale: collected to the driver and
+    shipped in the task closure (same budget as a broadcast variable).
+    Output: (url, alias, label, name, n_hits) with n_hits = occurrences of
+    the alias in the document.
+    """
+    alias_rows = alias_df.select("alias", "label", "name").collect()
+    candidates: dict[str, list[tuple[str, str]]] = {}
+    for r in alias_rows:
+        candidates.setdefault(r["alias"], []).append((r["label"], r["name"]))
+    aliases = tuple(sorted(candidates))
+
+    cols = pages.select("url", F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = _automaton_for(aliases)
+        for pdf in batches:
+            out: dict[str, list] = {"url": [], "alias": [], "label": [], "name": [], "n_hits": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                counts: dict[str, int] = {}
+                for _end, pat in ac.find_all(text):
+                    counts[pat] = counts.get(pat, 0) + 1
+                for alias, n in counts.items():
+                    for label, name in candidates[alias]:
+                        out["url"].append(url)
+                        out["alias"].append(alias)
+                        out["label"].append(label)
+                        out["name"].append(name)
+                        out["n_hits"].append(n)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(
+        run, schema="url string, alias string, label string, name string, n_hits long"
+    )
+
+
+def score_candidates(mentions: DataFrame) -> DataFrame:
+    """Rank candidate entities per alias by total corpus frequency.
+
+    Two-phase hash aggregate then argmax — returns one winning (label, name)
+    per alias with its support count.
+    """
+    freq = mentions.groupBy("alias", "label", "name").agg(
+        F.sum("n_hits").alias("support")
+    )
+    return freq.groupBy("alias").agg(
+        F.max_by(F.struct("label", "name"), F.struct(F.col("support"), F.col("name"))).alias("best"),
+        F.max("support").alias("support"),
+    ).select("alias", F.col("best.label").alias("label"), F.col("best.name").alias("name"), "support")

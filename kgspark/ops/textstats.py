@@ -1,0 +1,114 @@
+"""Text analysis for large-scale training-data pipelines (all JVM-side).
+
+Every operator here is pure ``pyspark.sql.functions`` — whole-stage codegen,
+no Python in the hot path — because these run over the full corpus (the
+100 TB side), unlike extraction which is content-dependent.
+
+Operators: token counting (whitespace + BPE-ish regex), document
+fingerprinting (md5 of a normalized form — portable across engines, used as
+the cross-engine dedup key), quality scoring (length / punctuation /
+stopword / repetition signals), n-gram heuristic language ID.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/punct splitter: letter runs, digit runs, single
+# non-space punct — approximates subword pre-tokenization
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+# tiny marker-word inventories for heuristic language id (deterministic,
+# SQL-portable: plain substring containment on padded text)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. md5 (not xxhash64) so any engine — DuckDB, Trino,
+    Python — derives the identical key for cross-system dedup joins."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals + a composite score in [0, 1].
+
+    Signals: char length, ws-token count, mean word length, punctuation
+    density, uppercase ratio, max single-token share (repetition proxy).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?。，；：！？]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_word_len = (n_chars / F.greatest(n_tokens, F.lit(1))).cast("double")
+
+    out = df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "punct_ratio": (n_punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+            "upper_ratio": (n_upper / F.greatest(n_alpha, F.lit(1))).cast("double"),
+            "mean_word_len": mean_word_len,
+        }
+    )
+    # composite: each component clamped to [0,1]; weights are heuristic
+    length_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    upper_ok = F.lit(1.0) - F.least(F.col("upper_ratio") * 2.0, F.lit(1.0))
+    wordlen_ok = F.when(
+        (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    return out.withColumn(
+        "quality_score",
+        ((length_ok + punct_ok + upper_ok + wordlen_ok) / 4.0).cast("double"),
+    )
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Number of marker words present (word-ish containment on padded text)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = [padded.contains(f" {w} ").cast("int") for w in words]
+    return reduce(lambda a, b: a + b, hits)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID.
+
+    CJK detection first (any CJK char -> 'zh'-family), then argmax of marker-
+    word hits across LANG_MARKERS; 'und' when nothing matches. Deterministic
+    ties: greatest((hits, code)) -> lexicographically largest code wins.
+    """
+    t = F.col(text_col)
+    has_cjk = t.rlike(r"[一-鿿]")
+    scores = [
+        F.struct(_marker_hits(t, ws).alias("hits"), F.lit(code).alias("code"))
+        for code, ws in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["code"])
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn("lang_pred", pred)

@@ -1,0 +1,104 @@
+"""X6 mention detection + scoring; X7 connected-components canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark.extract import components, mentions
+
+
+def test_aho_corasick_overlapping_and_substrings():
+    ac = mentions.AhoCorasick(["高血压", "血压", "糖尿病", "he", "she", "hers"])
+    hits = {p for _, p in ac.find_all("高血压与糖尿病")}
+    assert hits == {"高血压", "血压", "糖尿病"}
+    hits2 = sorted(ac.find_all("ushers"))
+    assert {p for _, p in hits2} == {"she", "he", "hers"}
+
+
+def test_detect_mentions_and_scoring(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", "高血压患者多见头痛。高血压需要治疗。"),
+            ("u2", "糖尿病与高血压常常并发。"),
+            ("u3", "没有实体。"),
+        ],
+        "url string, text string",
+    )
+    alias_df = spark.createDataFrame(
+        [
+            ("高血压", "Disease", "高血压"),
+            ("高血压", "Drug", "高血压灵"),  # ambiguous alias -> two candidates
+            ("糖尿病", "Disease", "糖尿病"),
+        ],
+        "alias string, label string, name string",
+    )
+    m = mentions.detect_mentions(pages, alias_df)
+    rows = {(r["url"], r["alias"], r["label"], r["name"]): r["n_hits"] for r in m.collect()}
+    assert rows[("u1", "高血压", "Disease", "高血压")] == 2
+    assert rows[("u2", "高血压", "Drug", "高血压灵")] == 1
+    assert ("u3", "糖尿病", "Disease", "糖尿病") not in rows
+
+    scored = {r["alias"]: (r["label"], r["name"]) for r in mentions.score_candidates(m).collect()}
+    # frequency tie between Disease/Drug candidates (same hits) -> max name wins deterministically
+    assert scored["糖尿病"] == ("Disease", "糖尿病")
+    assert scored["高血压"][1] in ("高血压", "高血压灵")
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"] for r in components.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_connected_components_chain_diameter(spark):
+    # path graph 0-1-2-...-9: worst case for propagation; must converge to 0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"] for r in components.connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_canonical_surface_forms(spark):
+    names = spark.createDataFrame(
+        [
+            ("Disease", "恶性肿瘤"),
+            ("Disease", "恶性肿瘤-重度"),
+            ("Disease", "恶性肿瘤（晚期）"),
+            ("Disease", "高血压"),
+            ("Disease", "高血压-轻度"),
+            ("Symptom", "恶性肿瘤"),  # other label: must not merge across labels
+        ],
+        "label string, name string",
+    )
+    got = {
+        (r["label"], r["name"]): r["canonical"]
+        for r in components.canonical_surface_forms(names).collect()
+    }
+    assert got[("Disease", "恶性肿瘤-重度")] == "恶性肿瘤"
+    assert got[("Disease", "恶性肿瘤（晚期）")] == "恶性肿瘤"
+    assert got[("Disease", "恶性肿瘤")] == "恶性肿瘤"
+    assert got[("Disease", "高血压-轻度")] == "高血压"
+    assert got[("Symptom", "恶性肿瘤")] == "恶性肿瘤"
+
+
+def test_apply_canonicalization(spark):
+    triples = spark.createDataFrame(
+        [
+            ("保险A", "Insurance", "REFUSES_DISEASE", "恶性肿瘤-重度", "Disease"),
+            ("保险A", "Insurance", "ALLOWS_AGE", "0-65周岁", "AgeRange"),
+        ],
+        "subj string, subj_type string, pred string, obj string, obj_type string",
+    )
+    mapping = spark.createDataFrame(
+        [("Disease", "恶性肿瘤-重度", "恶性肿瘤")], "label string, name string, canonical string"
+    )
+    out = {
+        (r["pred"], r["obj"]) for r in components.apply_canonicalization(triples, mapping).collect()
+    }
+    assert ("REFUSES_DISEASE", "恶性肿瘤") in out
+    assert ("ALLOWS_AGE", "0-65周岁") in out  # AgeRange untouched
