@@ -69,21 +69,39 @@ def extract_triples_text(text: str | None) -> list[tuple[str, str, str, str, str
     return out
 
 
-def extract_doc_triples(pages: DataFrame) -> DataFrame:
-    """(url, text, ...) -> DOC_TRIPLES rows via mapInPandas.
+def extract_doc_triples(pages: DataFrame, fused_html: bool = False) -> DataFrame:
+    """(url, text[, html], ...) -> DOC_TRIPLES rows via mapInPandas.
 
     Arrow batches in, flat triple batches out — the UDTF shape (1 row -> N
     rows) that ``F.explode`` can't express without first materializing an
     array column per document. Output partitioning inherits the input's
     url-partitioning, so per-bucket lineage counts stay partition-local.
+
+    ``fused_html=True`` runs the pinned HTML->text extractor inside the SAME
+    Python stage for rows whose text is null — one Arrow round-trip and one
+    worker pass for the whole corpus instead of two chained Python stages
+    (the per-url byte-identical contract is unchanged: it calls the identical
+    pinned function).
     """
-    cols = pages.select("url", "text")
+    if fused_html:
+        from kgspark.extract.html import extract_text
+
+        cols = pages.select("url", "text", "html")
+    else:
+        cols = pages.select("url", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls: list[str] = []
             rows: list[tuple[str, str, str, str, str]] = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            if fused_html:
+                texts = [
+                    t if t is not None else extract_text(None if h is None else bytes(h))
+                    for t, h in zip(pdf["text"], pdf["html"])
+                ]
+            else:
+                texts = pdf["text"]
+            for url, text in zip(pdf["url"], texts):
                 for t in extract_triples_text(text):
                     urls.append(url)
                     rows.append(t)

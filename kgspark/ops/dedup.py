@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first:
+
+- exact: hash-groupBy on a normalized fingerprint (two-phase aggregate);
+- MinHash + LSH: shingle -> minhash signature (numpy, Arrow-batched) ->
+  band buckets -> self-join within buckets -> verified candidate pairs;
+- SimHash: 64-bit signature, near-dups = identical signature (or banded
+  prefixes for hamming<k);
+- n-gram Jaccard: exact verification used on LSH candidates (and usable
+  standalone on small sets).
+
+Scale notes: the LSH self-join shuffles on (band, bucket) — bucket keys are
+md5-derived, so uniformly distributed; degenerate buckets (boilerplate
+corpora) are handled by ``max_bucket_size`` which drops pathological buckets
+instead of exploding the join (logged via the returned frame, never silent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgspark.ops.textstats import fingerprint
+
+# deterministic 64-bit mix constants (splitmix64) for minhash permutations
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group."""
+    keyed = df.withColumn("fp", fingerprint(F.col(text_col)))
+    return (
+        keyed.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .join(keyed.select(id_col, text_col), id_col)
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Character-k-gram hash set (uint64) of whitespace-normalized text."""
+    norm = " ".join(text.split()).lower()
+    if len(norm) < k:
+        norm = norm.ljust(k, "\x00")
+    shingles = {norm[i : i + k] for i in range(len(norm) - k + 1)}
+    return np.fromiter(
+        (hash(s) & 0xFFFFFFFFFFFFFFFF for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+
+
+def _minhash_signature(hashes: np.ndarray, n_perm: int) -> np.ndarray:
+    """Vectorized minhash: splitmix64-style mixes as the permutation family."""
+    seeds = (np.arange(1, n_perm + 1, dtype=np.uint64) * _MIX1)[None, :]
+    h = hashes[:, None] ^ seeds
+    h = (h ^ (h >> np.uint64(30))) * _MIX2
+    h = h ^ (h >> np.uint64(31))
+    return h.min(axis=0)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_perm: int = 64, shingle_k: int = 5,
+) -> DataFrame:
+    """(id, text) -> (id, sig array<long>) via Arrow-batched numpy minhash.
+
+    PYTHONHASHSEED note: ``hash(str)`` is randomized per process; Spark
+    pins PYTHONHASHSEED for workers, and signatures are only compared within
+    one job, so determinism holds within a run. Cross-run-stable signatures
+    would swap ``hash`` for md5 — not needed for dedup-within-corpus.
+    """
+    cols = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                if not text:
+                    sigs.append(np.zeros(n_perm, dtype=np.uint64))
+                    continue
+                sigs.append(_minhash_signature(_shingle_hashes(text, shingle_k), n_perm))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sig": [s.astype(np.int64) for s in sigs],
+                }
+            )
+
+    return cols.mapInPandas(run, schema=f"{id_col} long, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 16,
+    max_bucket_size: int = 1000, n_perm: int | None = None,
+) -> DataFrame:
+    """Band the signatures and self-join within (band, bucket).
+
+    rows_per_band = n_perm / n_bands. Returns distinct (a, b) with a < b.
+    Buckets larger than ``max_bucket_size`` are dropped (boilerplate guard):
+    a bucket of size m yields m²/2 pairs — one degenerate bucket can dwarf
+    the whole job.
+    """
+    if n_perm is None:  # probe only when the caller didn't pass it (extra job)
+        n_perm = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_perm // n_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_k: int = 5, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard on candidate pairs (joins texts back in).
+
+    Shingling is JVM-side: transform over a 0..len-k index sequence ->
+    array_distinct -> intersection/union sizes. Returns (a, b, jaccard)
+    for pairs at or above ``threshold``.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - shingle_k, F.lit(0))),
+            lambda i: norm.substr(i + 1, F.lit(shingle_k)),
+        )
+    )
+    sh = df.select(F.col(id_col), shingles.alias("shingles"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("jaccard", (inter / F.greatest(union, F.lit(1))).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_perm: int = 64, n_bands: int = 16, shingle_k: int = 5, threshold: float = 0.8,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard verify
+    (estimated from signatures) -> connected components -> representative per
+    duplicate cluster. Returns (doc_id, cluster, is_representative).
+
+    ``repartition``: set when the input arrives in fewer splits than cores
+    (e.g. one small parquet file -> one partition -> a *serial* Python
+    signature stage); at corpus scale the input already has enough splits and
+    forcing a shuffle of the text bytes would be a regression, so default None.
+    """
+    if repartition:
+        df = df.repartition(repartition)
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_perm=n_perm)
+    # signature-estimated jaccard: fraction of agreeing minhash positions
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(n_perm)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b")
+    )
+    from kgspark.extract.components import connected_components
+
+    comp = connected_components(est, "a", "b")
+    ids = df.select(id_col)
+    clustered = ids.join(comp.withColumnRenamed("id", id_col), id_col, "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("cluster")
+    )
+    return clustered.withColumn(
+        "is_representative", F.col(id_col) == F.col("cluster")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
+) -> DataFrame:
+    """64-bit SimHash per document (numpy bit-count accumulation)."""
+    cols = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if not text:
+                    out.append(0)
+                    continue
+                hs = _shingle_hashes(text, shingle_k)
+                onebits = ((hs[:, None] >> bits) & np.uint64(1)).sum(axis=0)
+                vote = onebits * 2 > len(hs)
+                out.append(int(np.packbits(vote[::-1]).view(">u8")[0]))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": np.array(out, dtype=np.uint64).astype(np.int64)})
+
+    return cols.mapInPandas(run, schema=f"{id_col} long, simhash long")
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup clusters = identical simhash (hamming-0 tier; banded
+    hamming<k search is the LSH path above). Returns one representative per
+    signature."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    return sigs.groupBy("simhash").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_dups")
+    )

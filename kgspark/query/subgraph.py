@@ -1,0 +1,93 @@
+"""J4: variable-length path retrieval (1..h hops) as iterated frontier joins.
+
+Reference: ``graph_retrieval.py:42-50`` — undirected ``[*1..h]`` expansion
+from seed entities, default 2 hops, bounded result set. Cypher's path
+enumeration is exponential; what the RAG layer actually consumes is the set
+of distinct nodes/edges reached (it dedups immediately, :58-75), so the
+Spark plan is BFS with a visited-set anti-join — linear in edges touched,
+not paths.
+
+Scale: each hop is one shuffle join frontier x edges; visited stays small
+relative to the corpus (bounded expansion), frontier is broadcast when tiny.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Subgraph:
+    nodes: DataFrame  # (entity_id, label, name, hop)
+    triples: DataFrame  # (subj, subj_type, pred, obj, obj_type)
+
+
+def retrieve_subgraph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entities: list[str],
+    hops: int = 2,
+    limit: int = 50,
+) -> Subgraph:
+    """Undirected h-hop neighborhood of the named seed entities.
+
+    Returns reached nodes (with hop distance) and the distinct triples among
+    reached nodes, capped at ``limit`` triples (deterministic order).
+    """
+    und = edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b")).union(
+        edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b"))
+    )
+    seeds = (
+        nodes.filter(F.col("name").isin(entities))
+        .select("entity_id")
+        .withColumn("hop", F.lit(0))
+    )
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for h in range(1, hops + 1):
+        nxt = (
+            und.join(
+                F.broadcast(frontier.select(F.col("entity_id").alias("a"))), "a"
+            )
+            .select(F.col("b").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        frontier = nxt.localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
+        if frontier.isEmpty():
+            break
+
+    reached = visited.join(nodes, "entity_id").select("entity_id", "label", "name", "hop")
+    n = reached.select("entity_id", "label", "name")
+    sub_triples = (
+        edges.join(n.alias("s"), F.col("src_id") == F.col("s.entity_id"))
+        .join(n.alias("o"), F.col("dst_id") == F.col("o.entity_id"))
+        .select(
+            F.col("s.name").alias("subj"),
+            F.col("s.label").alias("subj_type"),
+            F.col("rel").alias("pred"),
+            F.col("o.name").alias("obj"),
+            F.col("o.label").alias("obj_type"),
+        )
+        .orderBy("subj", "pred", "obj")
+        .limit(limit)
+    )
+    return Subgraph(nodes=reached, triples=sub_triples)
+
+
+def subgraph_to_text(sub: Subgraph, max_triples: int = 30) -> str:
+    """Serialize for prompt context (graph_retrieval.py:90-106)."""
+    rows = sub.triples.limit(max_triples).collect()
+    if not rows:
+        names = sub.nodes.orderBy("name").limit(20).collect()
+        if not names:
+            return "（未检索到相关图谱信息。）"
+        return "\n".join(f"实体: {r['name']} (类型: {r['label']})" for r in names)
+    lines = ["三元组："]
+    lines += [f"  ({r['subj']}) -[{r['pred']}]-> ({r['obj']})" for r in rows]
+    return "\n".join(lines)

@@ -1,0 +1,78 @@
+"""Structured Streaming wrapper for the extraction pipeline (optional layer).
+
+The reference is pure batch (SURVEY §2.10) and the north rule asks for
+checkpoint-resumable *batch*; this module is the forward path for continuous
+ingestion: the same extraction stages wrapped in readStream/foreachBatch so
+each micro-batch reuses the batch pipeline's bucket-idempotent writes, plus a
+windowed event-rate monitor with watermarked late-data handling.
+
+Both entry points run against file sources so they are drivable in tests via
+``processAllAvailable()`` (no Kafka in the sandbox; swap ``format`` on a real
+cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark import schemas
+from kgspark.extract.html import with_extracted_text
+from kgspark.extract.openie import extract_doc_triples
+
+
+def stream_extract_triples(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Continuous corpus -> triples: file-source stream, per-micro-batch
+    extraction via foreachBatch (exactly-once with the checkpoint dir;
+    idempotent append since doc triples are keyed by url)."""
+    pages = (
+        spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        triples = extract_doc_triples(with_extracted_text(batch_df))
+        triples.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{out_dir}/doc_triples_stream"
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_rates(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "page_rates",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+):
+    """Watermarked tumbling-window ingest monitor: pages/sec per lang.
+
+    Late rows beyond the watermark are dropped (state bounded); append mode
+    emits a window only once it is final — the standard production shape.
+    """
+    pages = spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

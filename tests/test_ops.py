@@ -1,0 +1,135 @@
+"""Training-data ops: dedup tiers, similarity search, text stats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark.ops import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark shuffles and joins " * 6),
+        (5, "another unrelated document mentioning catalyst optimizer rules " * 6),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_dups"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization folds case+whitespace
+
+
+def test_minhash_dedup_clusters(near_dup_docs):
+    out = dedup.minhash_dedup(near_dup_docs, threshold=0.5)
+    rows = {r["doc_id"]: (r["cluster"], r["is_representative"]) for r in out.collect()}
+    assert rows[1][0] == rows[2][0] == rows[3][0]
+    assert rows[4][0] != rows[1][0]
+    assert rows[5][0] not in (rows[1][0], rows[4][0])
+    reps = [d for d, (_, rep) in rows.items() if rep]
+    assert len(reps) == 3
+
+
+def test_lsh_candidates_vs_exact_jaccard(near_dup_docs):
+    sigs = dedup.minhash_signatures(near_dup_docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    cand = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in cand and (1, 3) in cand
+    verified = dedup.verify_jaccard(pairs, near_dup_docs, threshold=0.8)
+    v = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == 1.0
+    assert all(j >= 0.8 for j in v.values())
+
+
+def test_simhash_dedup(near_dup_docs):
+    out = {r["doc_id"]: r["n_dups"] for r in dedup.simhash_dedup(near_dup_docs).collect()}
+    assert out[1] == 2  # exact dups share a signature
+    assert 2 not in out
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[7]
+    qn = q / np.linalg.norm(q)
+    scores = mat_n @ qn
+    expected = pdf["vec_id"].to_numpy()[np.argsort(-scores, kind="stable")][:5]
+
+    got = similarity.cosine_topk(emb, [(0, list(map(float, q)))], k=5)
+    got_ids = [r["vec_id"] for r in got.orderBy("rank").collect()]
+    assert got_ids == list(expected)
+    assert got_ids[0] == pdf["vec_id"][7]  # self is nearest
+
+
+def test_lsh_topk_contains_self(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    dim = len(q)
+    got = similarity.lsh_topk(emb, [(0, list(map(float, q)))], dim=dim, k=5, n_planes=6)
+    rows = got.orderBy("rank").collect()
+    assert rows, "lsh returned empty candidate set"
+    assert rows[0]["vec_id"] == 3 and rows[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog of the north is here."),
+            (2, "el perro de la casa que ladra los domingos"),
+            (3, "这是一个中文句子。"),
+            (4, "!!!???...,,,"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.lang_id(textstats.quality_features(df)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "es"
+    assert by_id[3]["lang_pred"] == "zh"
+    assert by_id[4]["lang_pred"] == "und"
+    assert by_id[1]["quality_score"] > by_id[4]["quality_score"]
+    assert by_id[1]["n_tokens"] == 13
+
+    fp = df.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp")).collect()
+    import hashlib
+    expected = hashlib.md5(b"the quick brown fox and the lazy dog of the north is here.").hexdigest()
+    assert {r["doc_id"]: r["fp"] for r in fp}[1] == expected
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_fake_media(spark, 30)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same feature
+    f0 = [r["feature"] for r in rows if r["media_id"] == 0][0]
+    assert f0 == list(multimodal.decode_image(b"media-payload-0", fake=True))
+
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    vid = media.filter("kind='video'").select("media_id", "meta.duration_ms").collect()
+    expected_rows = sum(r["duration_ms"] // 1000 + 1 for r in vid)
+    assert frames.count() == expected_rows
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)

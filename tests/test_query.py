@@ -1,0 +1,111 @@
+"""Query layer: retrieval templates + BFS subgraph over the miniature graph."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import fixtures
+from kgspark.construct.reference_build import build_structured_graph
+from kgspark.query import retriever, subgraph
+
+
+@pytest.fixture(scope="module")
+def graph(spark, mini_sources):
+    nodes, edges, _ = build_structured_graph(spark, mini_sources)
+    return nodes.cache(), edges.cache()
+
+
+def test_disease_expand(graph):
+    nodes, edges = graph
+    d = fixtures.DISEASES[1]  # single-record disease
+    row = retriever.disease_expand(nodes, edges, d).collect()[0]
+    assert row["disease"] == d
+    assert len(row["symptoms"]) == 3
+    assert len(row["complications"]) == 2
+    assert len(row["drugs"]) == 2
+    assert row["intro"].startswith(d)
+
+
+def test_insurance_covering(graph):
+    nodes, edges = graph
+    rows = retriever.insurance_covering(nodes, edges, "高血压").collect()
+    assert rows
+    by_name = {r["ins_name"]: r["description"] for r in rows}
+    assert "高血压" in by_name["长相安慢病保"]
+    # dup-name product: the edge came from its first record's description,
+    # while last-write-wins replaced the props with the later record's —
+    # faithful MERGE semantics, so this description may NOT contain 高血压.
+    assert by_name[fixtures.INSURANCES[0]] == "含恶性肿瘤医疗保障"
+
+
+def test_insurance_for_age(graph):
+    nodes, edges = graph
+    young = retriever.insurance_for_age(nodes, edges, 30)
+    assert young.count() == 0
+    old = retriever.insurance_for_age(nodes, edges, 70).collect()
+    assert 0 < len(old) <= 5
+
+
+def test_insurance_search_series_vs_generic(graph):
+    nodes, _ = graph
+    precise = retriever.insurance_search(nodes, "推荐一下蓝医保系列")
+    assert all("蓝医保" in r["name"] for r in precise.collect())
+    generic = retriever.insurance_search(nodes, "随便推荐个保险", seed=42)
+    names = [r["name"] for r in generic.collect()]
+    assert names and all(
+        any(k in n for k in retriever.GENERIC_KEYWORDS) for n in names
+    )
+    # seeded rand: stable across invocations
+    again = [r["name"] for r in retriever.insurance_search(nodes, "随便推荐个保险", seed=42).collect()]
+    assert names == again
+
+
+def test_nursing_home_search(graph):
+    nodes, _ = graph
+    rows = retriever.nursing_home_search(nodes, city="北京", price_max=7500).collect()
+    assert rows
+    for r in rows:
+        assert "北京" in r["address"] or "北京" in r["name"]
+        assert int(r["price"]) <= 7500
+
+
+def test_parse_query_rules():
+    p = retriever.parse_query_rules("70岁高血压老人能买什么保险？", known_diseases=["高血压"])
+    assert p["intent"] == "insurance_query"
+    assert p["age"] == 70
+    assert p["disease"] == ["高血压"]
+    p2 = retriever.parse_query_rules("北京有哪些5000元以下的养老院？")
+    assert p2["intent"] == "nursing_home_search"
+    assert p2["city"] == "北京"
+    assert p2["price_max"] == 5000
+
+
+def test_subgraph_bfs(graph):
+    nodes, edges = graph
+    d = fixtures.DISEASES[1]
+    sub = subgraph.retrieve_subgraph(nodes, edges, [d], hops=2, limit=50)
+    hops = {r["name"]: r["hop"] for r in sub.nodes.collect()}
+    assert hops[d] == 0
+    # direct symptom is hop 1
+    one_hop = [n for n, h in hops.items() if h == 1]
+    assert one_hop
+    assert sub.triples.count() > 0
+    txt = subgraph.subgraph_to_text(sub)
+    assert txt.startswith("三元组：")
+    # hop-2 frontier contains something NOT adjacent to the seed
+    assert any(h == 2 for h in hops.values())
+
+
+def test_subgraph_unknown_entity(graph):
+    nodes, edges = graph
+    sub = subgraph.retrieve_subgraph(nodes, edges, ["不存在的实体"], hops=2)
+    assert sub.nodes.count() == 0
+    assert "未检索到" in subgraph.subgraph_to_text(sub)
+
+
+def test_label_counts(graph):
+    nodes, _ = graph
+    counts = {r["label"]: r["n"] for r in retriever.label_counts(nodes).collect()}
+    assert counts["Population"] == 1
+    assert counts["Disease"] >= 10
