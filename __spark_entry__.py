@@ -460,6 +460,81 @@ FROM documents WHERE lang = 'de'
 """
 
 
+def _p6_rlike_filter(spark, sf):
+    """P6: regex keyword filter (filter_disease.py:47-59 analog)."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("spark|merge"))
+        .select("doc_id", "lang")
+    )
+
+
+_P6_SQL = "SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'spark|merge')"
+
+
+def _f_string_funcs(spark, sf):
+    """F1-F5/F9: trim, truncate-with-ellipsis, concat_ws, printf-format, cast."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.substring(F.trim("text"), 1, 30), F.lit("...")).alias("preview"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.format_string("%s/%d", F.col("lang"), F.col("n_chars")).alias("card"),
+        F.col("n_chars").cast("string").alias("n_chars_str"),
+    )
+
+
+_F_STRING_SQL = """
+SELECT doc_id,
+       substring(trim(text), 1, 30) || '...' AS preview,
+       concat_ws('|', lang, source) AS tag,
+       printf('%s/%d', lang, n_chars) AS card,
+       CAST(n_chars AS VARCHAR) AS n_chars_str
+FROM documents
+"""
+
+
+def _f7_from_json(spark, sf):
+    """F7: schema-declared JSON parse of the extractor-output analog."""
+    e = _t(spark, sf, "events")
+    parsed = F.from_json("props", "k int")
+    return e.select("event_id", parsed["k"].alias("k_val")).filter(
+        F.col("k_val").isNotNull()
+    )
+
+
+_F7_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def _x6_mentions(spark, sf):
+    """X6: Aho-Corasick mention detection, oracled by occurrence counting
+    (keywords chosen with no self-overlap so replace-counting agrees)."""
+    from kgspark.extract.mentions import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    alias_df = spark.createDataFrame(
+        [(w, "Term", w) for w in ["spark", "join", "window", "merge"]],
+        "alias string, label string, name string",
+    )
+    m = detect_mentions(d, alias_df)
+    return m.select(F.col("url").cast("long").alias("doc_id"), "alias", "n_hits")
+
+
+_X6_SQL = """
+SELECT doc_id, kw AS alias,
+       (length(text) - length(replace(text, kw, ''))) // length(kw) AS n_hits
+FROM documents,
+     (SELECT 'spark' AS kw UNION ALL SELECT 'join'
+      UNION ALL SELECT 'window' UNION ALL SELECT 'merge') k
+WHERE contains(text, kw)
+"""
+
+
 def _dedup_exact(spark, sf):
     from kgspark.ops.dedup import exact_dedup
 
@@ -694,6 +769,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_topk_limit": _w2_topk_limit,
         "w3_topk_per_group": _w3_topk_per_group,
         "w4_renumber": _w4_renumber,
+        "p6_rlike_filter": _p6_rlike_filter,
+        "f_string_funcs": _f_string_funcs,
+        "f7_from_json": _f7_from_json,
+        "x6_mentions": _x6_mentions,
         "dedup_exact": _dedup_exact,
         "fingerprint_md5": _fingerprint_md5,
         "lang_id": _lang_id,
@@ -731,6 +810,10 @@ def oracle_sql() -> dict[str, str]:
         "w2_topk_limit": _W2_SQL,
         "w3_topk_per_group": _W3_SQL,
         "w4_renumber": _W4_SQL,
+        "p6_rlike_filter": _P6_SQL,
+        "f_string_funcs": _F_STRING_SQL,
+        "f7_from_json": _F7_SQL,
+        "x6_mentions": _X6_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "fingerprint_md5": _FINGERPRINT_SQL,
         "lang_id": _lang_id_sql(),

@@ -76,22 +76,34 @@ def stub_records_from_triples(triples: DataFrame) -> DataFrame:
 def canonicalize_nodes(records: DataFrame) -> DataFrame:
     """A1: distinct (label, name) with last-write-wins, null-deleted props.
 
-    Two-phase hash aggregate; ``max_by`` keeps only one (props, seq) pair per
-    group on the map side, so duplicate-heavy sources don't inflate the
-    shuffle.
+    Split by scale tier: the corpus-sized stub stream (props NULL — triple
+    endpoints at 10^12-doc scale) goes through a plain two-phase HASH
+    aggregate; only prop-bearing SET records (dimension catalogs) pay the
+    ``max_by(props, seq)`` aggregate, which Spark must plan as a
+    SortAggregate because a map-typed buffer is not hash-aggregable. Keeping
+    the sort agg off the corpus path is the difference between sorting
+    billions of rows and sorting thousands.
+
+    Stubs never outrank SET records (reference: MERGE on an edge tail sets no
+    props), which the split encodes structurally instead of via seq=-1.
     """
-    won = records.groupBy("label", "name").agg(
+    all_names = records.select("label", "name").distinct()  # hash agg, corpus-scale
+    setters = records.filter(F.col("props").isNotNull())
+    won = setters.groupBy("label", "name").agg(
         F.max_by("props", "seq").alias("props_raw")
     )
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
     clean = F.map_filter(
-        F.coalesce(F.col("props_raw"), F.from_json(F.lit("{}"), "map<string,string>")),
-        lambda _, v: v.isNotNull(),
+        F.coalesce(F.col("props_raw"), empty_map), lambda _, v: v.isNotNull()
     )
-    return won.select(
+    # join strategy left to AQE: it converts to broadcast at runtime when the
+    # SET-record side is small (always, in this engine's uses), but a forced
+    # hint would be wrong if a caller ever feeds corpus-scale SET records
+    return all_names.join(won, ["label", "name"], "left").select(
         entity_id(F.col("label"), F.col("name")).alias("entity_id"),
         "label",
         "name",
-        clean.alias("props"),
+        F.coalesce(clean, empty_map).alias("props"),
     )
 
 

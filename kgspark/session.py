@@ -10,6 +10,7 @@ bit-for-bit against the DuckDB oracle.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -23,6 +24,17 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    # Spark's Python workers inherit env from the JVM (launched from this
+    # process): put the repo root on PYTHONPATH *before* the JVM starts so
+    # `import kgspark` resolves in workers regardless of the caller's cwd.
+    # (Cluster deployments pass the package explicitly via --py-files; see
+    # also __spark_entry__._ship_package for externally-created sessions.)
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pypath}" if pypath else repo_root
+        )
     # ~2 partitions/core keeps all cores busy through stragglers without
     # drowning small stages in task overhead; at cluster scale this knob is
     # replaced by AQE target sizes, which are enabled below.
