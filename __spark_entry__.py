@@ -654,12 +654,12 @@ FROM documents
 
 
 def _ann_cosine_topk(spark, sf):
-    from kgspark.ops.similarity import cosine_topk
+    from kgspark.ops.similarity import cosine_topk_arrow
 
     emb = _t(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id").isin(0, 1)).collect()
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qs]
-    return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+    return cosine_topk_arrow(emb, queries, k=5).select("query_id", "vec_id", "rank")
 
 
 _ANN_SQL = """

@@ -36,6 +36,7 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        fn()  # warm-up: codegen compile, parquet footers, python workers
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -105,14 +106,14 @@ def main() -> None:
     timed("minhash_dedup", dedup)
 
     # --- ann_topk -----------------------------------------------------------
-    from kgspark.ops.similarity import cosine_topk
+    from kgspark.ops.similarity import cosine_topk_arrow
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = emb.limit(8).collect()
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
 
     def ann():
-        extras["ann_rows"] = cosine_topk(emb, queries, k=10).count()
+        extras["ann_rows"] = cosine_topk_arrow(emb, queries, k=10).count()
 
     timed("ann_topk", ann)
 

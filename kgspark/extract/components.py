@@ -37,6 +37,10 @@ def connected_components(
     node id in the component. Convergence-checked each iteration."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list once: every iteration joins against it, and
+    # without this the full upstream derivation (LSH joins, Python signature
+    # stages, ...) re-executes per iteration
+    sym = sym.localCheckpoint()
     comp = (
         sym.select(F.col("a").alias("id"))
         .distinct()

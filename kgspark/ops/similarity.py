@@ -68,6 +68,55 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via per-batch numpy matmul (the fast physical plan).
+
+    Same contract as ``cosine_topk``; per Arrow batch computes
+    (batch_matrix @ Q.T) in one BLAS call — Catalyst's higher-order-function
+    fold evaluates lambdas per element interpreted, which loses to vectorized
+    C by ~10x on wide vectors. Partial top-k per partition (heap via
+    argpartition) keeps the shuffle at n_partitions * n_queries * k rows.
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    qids = [int(q) for q, _ in queries]
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    cols = embeddings.select(id_col, vec_col)
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            scores = (mat / norms) @ qmat.T  # (batch, n_queries)
+            out_q, out_id, out_s = [], [], []
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                if len(col) > k:
+                    idx = np.argpartition(-col, k)[:k]
+                else:
+                    idx = np.arange(len(col))
+                for i in idx:
+                    out_q.append(qid)
+                    out_id.append(int(ids[i]))
+                    out_s.append(float(col[i]))
+            yield pd.DataFrame({"query_id": out_q, id_col: out_id, "score": out_s})
+
+    partial = cols.mapInPandas(run, schema=f"query_id int, {id_col} long, score double")
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform)."""
     n = dim * n_planes

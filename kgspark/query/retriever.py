@@ -56,9 +56,15 @@ def disease_expand(nodes: DataFrame, edges: DataFrame, disease: str) -> DataFram
         F.col("props")["intro"].alias("intro"),
         F.col("props")["treat_detail"].alias("treat_detail"),
     )
+    empty = F.array().cast("array<string>")
     return props.join(agg, "src_name", "left").select(
-        F.col("src_name").alias("disease"), "intro", "treat_detail",
-        "symptoms", "complications", "drugs",
+        F.col("src_name").alias("disease"),
+        "intro",
+        "treat_detail",
+        # Cypher collect(DISTINCT ...) yields [] when OPTIONAL MATCH finds none
+        F.coalesce("symptoms", empty).alias("symptoms"),
+        F.coalesce("complications", empty).alias("complications"),
+        F.coalesce("drugs", empty).alias("drugs"),
     )
 
 
@@ -134,7 +140,9 @@ def nursing_home_search(
     if city:
         nh = nh.filter(F.col("address").contains(city) | F.col("name").contains(city))
     if price_max is not None:
-        nh = nh.filter(F.col("price").cast("int") <= F.lit(price_max))
+        # try_cast: Cypher toInteger() yields null on non-numeric strings
+        # ('价格面议'), which the <= predicate then drops — not an error
+        nh = nh.filter(F.col("price").try_cast("int") <= F.lit(price_max))
     return nh.orderBy("name").limit(limit)
 
 
