@@ -675,6 +675,66 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _embedding_neardup(spark, sf):
+    from kgspark.ops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), top_pairs=20)
+
+
+_EMB_NEARDUP_SQL = """
+SELECT a, b, round(CAST(sim AS DOUBLE), 6) AS sim FROM (
+  SELECT e1.vec_id AS a, e2.vec_id AS b,
+         list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+) ORDER BY sim DESC, a, b LIMIT 20
+"""
+
+
+def _rollup_counts(spark, sf):
+    """Grouping-set aggregation (rollup) over lineitem flags."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _sessionize(spark, sf):
+    """Sessionization: 30-min inactivity gap splits a user's event stream."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = e.withColumn("sess_idx", F.sum(new_sess).over(w))
+    return with_sess.groupBy("user_id", "sess_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT user_id, sess_idx, min(ts) AS session_start, count(*) AS n_events
+FROM (
+  SELECT user_id, ts, CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_idx
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+) GROUP BY user_id, sess_idx
+"""
+
+
 def _stream_window_counts(spark, sf):
     e = _t(spark, sf, "events")
     return (
@@ -779,6 +839,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "quality_score": _quality_score,
         "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_neardup": _embedding_neardup,
+        "rollup_counts": _rollup_counts,
+        "sessionize": _sessionize,
         "stream_window_counts": _stream_window_counts,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
@@ -820,6 +883,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "quality_score": _QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "rollup_counts": _ROLLUP_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "stream_window_counts": _STREAM_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

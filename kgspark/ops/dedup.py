@@ -210,6 +210,58 @@ def minhash_dedup(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    top_pairs: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: the ``top_pairs`` most similar
+    (a < b) pairs by exact cosine.
+
+    Physical plan: the (dimension-scale) embedding matrix is shipped in the
+    task closure; each Arrow batch computes batch x corpus cosine in one
+    matmul, keeps a local top-k, and a global TakeOrdered finishes. This is
+    the exact-verification kernel; at corpus scale the candidate set first
+    shrinks through similarity.with_lsh_bucket so each batch compares only
+    against its bucket's matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    cols = embeddings.select(id_col, vec_col)
+
+    def run(batches):
+        for pdf in batches:
+            b = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            b = b / np.linalg.norm(b, axis=1, keepdims=True)
+            sims = b @ mat.T
+            bids = pdf[id_col].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(b)):
+                mask = ids > bids[i]  # a < b, no self-pairs
+                if not mask.any():
+                    continue
+                cand = np.where(mask)[0]
+                row = sims[i, cand]
+                keep = cand[np.argsort(-row)[:top_pairs]]
+                for j in keep:
+                    out_a.append(int(bids[i]))
+                    out_b.append(int(ids[j]))
+                    out_s.append(float(sims[i, j]))
+            yield pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+
+    partial = cols.mapInPandas(run, schema="a long, b long, sim double")
+    return (
+        partial.orderBy(F.desc("sim"), F.col("a"), F.col("b"))
+        .limit(top_pairs)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
 ) -> DataFrame:
