@@ -69,6 +69,11 @@ def extract_triples_text(text: str | None) -> list[tuple[str, str, str, str, str
     return out
 
 
+# NOTE(perf, measured): a pandas-"vectorized" variant of this batch loop
+# (str.split/str.extract over an exploded sentence frame) was tried and ran
+# ~25% SLOWER at 16 cores (112k vs 141k docs/s) — pandas .str regex kernels
+# loop in Python per element, so the frame machinery is pure overhead. The
+# compiled-regex loop below is the fast shape for this extractor.
 def extract_doc_triples(pages: DataFrame, fused_html: bool = False) -> DataFrame:
     """(url, text[, html], ...) -> DOC_TRIPLES rows via mapInPandas.
 
