@@ -675,6 +675,65 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _curation_pipeline(spark, sf):
+    """The training-data curation story in one plan: language gate ->
+    quality gate -> exact dedup -> per-source token accounting. Composes
+    lang_id + quality_features + fingerprint, all individually oracled."""
+    from kgspark.ops.textstats import fingerprint, lang_id, quality_features
+
+    d = _t(spark, sf, "documents")
+    scored = lang_id(quality_features(d)).withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    final = reps.join(kept, ["fp", "doc_id"])
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _curation_sql() -> str:
+    from kgspark.ops.textstats import LANG_MARKERS
+
+    h = {c: _lang_hits_sql(c, ws) for c, ws in LANG_MARKERS.items()}
+    quality = r"""(
+    least(len(string_split_regex(trim(text), '\s+')) / 20.0, 1.0)
+    + (1.0 - least(length(regexp_replace(text, '[^.,;:!?。，；：！？]', '', 'g'))
+                   / greatest(length(text), 1) * 5.0, 1.0))
+    + (1.0 - least(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   / greatest(length(regexp_replace(text, '[^A-Za-z]', '', 'g')), 1) * 2.0, 1.0))
+    + (CASE WHEN length(text) / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+             BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END)
+  ) / 4.0"""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {quality} AS quality_score,
+         CASE
+           WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN {h["fr"]} = 0 AND {h["es"]} = 0 AND {h["en"]} = 0 AND {h["de"]} = 0 THEN 'und'
+           WHEN {h["fr"]} >= {h["es"]} AND {h["fr"]} >= {h["en"]} AND {h["fr"]} >= {h["de"]} THEN 'fr'
+           WHEN {h["es"]} >= {h["en"]} AND {h["es"]} >= {h["de"]} THEN 'es'
+           WHEN {h["en"]} >= {h["de"]} THEN 'en'
+           ELSE 'de'
+         END AS lang_pred,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality_score >= 0.5
+), reps AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM reps JOIN kept USING (fp, doc_id) GROUP BY source
+"""
+
+
 def _embedding_neardup(spark, sf):
     from kgspark.ops.dedup import embedding_neardup_pairs
 
@@ -839,6 +898,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "quality_score": _quality_score,
         "ann_cosine_topk": _ann_cosine_topk,
+        "curation_pipeline": _curation_pipeline,
         "embedding_neardup": _embedding_neardup,
         "rollup_counts": _rollup_counts,
         "sessionize": _sessionize,
@@ -883,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "quality_score": _QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "curation_pipeline": _curation_sql(),
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "rollup_counts": _ROLLUP_SQL,
         "sessionize": _SESSIONIZE_SQL,

@@ -149,6 +149,95 @@ def with_lsh_bucket(
     return embeddings.withColumn("bucket", bucket)
 
 
+def ivf_fit_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
+    sample_limit: int = 20_000, vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample.
+
+    Deterministic: init = the first ``n_centroids`` sample vectors in vec_id
+    order, then ``iters`` Lloyd steps in numpy. The sample is dimension-scale
+    (clustering stability needs ~100 points/centroid, not the corpus); the
+    corpus-side assignment is distributed (``ivf_assign``).
+    """
+    rows = embeddings.orderBy("vec_id").limit(sample_limit).select(vec_col).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mat[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``centroid`` (argmax-cosine cluster id) — one matmul per Arrow
+    batch; at corpus scale this column becomes the Iceberg partition key so
+    probes do partition pruning instead of scans."""
+    import pandas as pd
+
+    cents = centroids  # captured in closure (small)
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            assign = np.argmax((mat / norms) @ cents.T, axis=1).astype(np.int32)
+            yield pdf.assign(centroid=assign)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields)
+    return embeddings.mapInPandas(run, schema=f"{schema}, centroid int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroids' lists,
+    exact re-rank within them. Candidates ≈ corpus * nprobe / n_centroids."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(embeddings, n_centroids, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / (np.linalg.norm(v) or 1.0)
+        probes = np.argsort(-(centroids @ v))[:nprobe]
+        for p in probes:
+            rows.append((int(qid), int(p), [float(x) for x in vec]))
+    qdf = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            rows, "query_id int, centroid int, qvec array<double>"
+        )
+    )
+    cand = assigned.join(qdf, "centroid")
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        _dot(
+            _l2_normalize(F.col("qvec")),
+            _l2_normalize(F.col(vec_col).cast("array<double>")),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],

@@ -93,13 +93,20 @@ def extract_stage(
     # per-bucket doc counts from the input split (url column only — the scan
     # prunes html/text, so no extraction re-runs here).
     written = spark.read.parquet(triples_path)
-    processed = pages.select("url", "bucket")
+    processed = pages.select(
+        "url", "bucket", F.col("text").isNull().cast("long").alias("from_html")
+    )
     doc_stats = processed.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.min("url").alias("url_min"),
         F.max("url").alias("url_max"),
+        F.sum("from_html").alias("n_html_extracted"),
     )
-    triple_stats = written.groupBy("bucket").agg(F.count("*").alias("n_triples"))
+    triple_stats = written.groupBy("bucket").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("pred").alias("n_preds"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
     lineage = (
         doc_stats.join(triple_stats, "bucket", "left")
         .select(
@@ -109,7 +116,10 @@ def extract_stage(
             "url_min",
             "url_max",
             "n_docs",
+            F.coalesce("n_html_extracted", F.lit(0)).alias("n_html_extracted"),
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.coalesce("n_preds", F.lit(0)).alias("n_preds"),
+            F.coalesce("n_subjects", F.lit(0)).alias("n_subjects"),
             F.lit("done").alias("status"),
         )
     )

@@ -126,10 +126,14 @@ LINEAGE = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("run_id", T.StringType(), False),
+        T.StructField("run_seq", T.LongType(), False),
         T.StructField("url_min", T.StringType(), True),
         T.StructField("url_max", T.StringType(), True),
         T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_html_extracted", T.LongType(), False),
         T.StructField("n_triples", T.LongType(), False),
+        T.StructField("n_preds", T.LongType(), False),
+        T.StructField("n_subjects", T.LongType(), False),
         T.StructField("status", T.StringType(), False),
     ]
 )

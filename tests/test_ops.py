@@ -133,3 +133,32 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"x", fake=False)
+
+
+def test_ivf_topk_recall(spark):
+    from kgspark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    qrows = emb.filter(F.col("vec_id").isin(2, 9)).collect()
+    qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    exact = similarity.cosine_topk_arrow(emb, qs, k=10)
+    approx = similarity.ivf_topk(emb, qs, k=10, n_centroids=8, nprobe=3)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # self must be found (query vector is in the corpus -> its own centroid)
+    assert (2, 2) in ap and (9, 9) in ap
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_assign_deterministic(spark):
+    from kgspark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = similarity.ivf_fit_centroids(emb, n_centroids=8)
+    c2 = similarity.ivf_fit_centroids(emb, n_centroids=8)
+    assert (c1 == c2).all()
+    a1 = {r["vec_id"]: r["centroid"] for r in similarity.ivf_assign(emb, c1).collect()}
+    a2 = {r["vec_id"]: r["centroid"] for r in similarity.ivf_assign(emb, c2).collect()}
+    assert a1 == a2
+    assert len(set(a1.values())) > 1  # actually clusters
