@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgspark.construct import graph as g
-from kgspark.extract import components, html, openie
+from kgspark.extract import components, openie
 
 
 @dataclass

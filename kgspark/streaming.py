@@ -50,6 +50,49 @@ def stream_extract_triples(
     return writer.start()
 
 
+def stream_first_seen_urls(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "first_seen",
+):
+    """Custom stateful operator: emit each url only the first time it is seen
+    across micro-batches (streaming exact-dedup by key).
+
+    applyInPandasWithState keeps one boolean per url group in the state
+    store; re-crawled pages in later batches are dropped. This is the
+    streaming counterpart of ops.dedup.exact_dedup for continuous ingestion.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return iter([])  # seen before -> drop everything
+        state.update((True,))
+        first = next(pdf_iter)
+        return iter([pd.DataFrame({"url": [key[0]], "lang": [first["lang"].iloc[0]]})])
+
+    out = (
+        pages.groupBy("url")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType="url string, lang string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_rates(
     spark: SparkSession,
     input_dir: str,

@@ -41,3 +41,27 @@ def test_stream_windowed_rates(spark, tmp_path):
     assert total <= n
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert "zh" in langs
+
+
+def test_stream_first_seen_urls_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: a url arriving in a later micro-batch must be
+    dropped; distinct urls pass exactly once."""
+    src = str(tmp_path / "pages_in")
+    batch1 = fixtures.web_pages_spark_small(spark, 100)
+    batch1.write.parquet(src)
+    q = streaming.stream_first_seen_urls(spark, src, query_name="fs1")
+    q.awaitTermination(120)
+    n1 = spark.sql("SELECT count(*) AS n FROM fs1").collect()[0]["n"]
+    assert n1 == 100
+
+    # second file: 50 repeats + 50 new urls
+    repeats = fixtures.web_pages_pdf(150)
+    df2 = spark.createDataFrame(repeats.iloc[50:150])
+    df2.write.mode("append").parquet(src)
+    q2 = streaming.stream_first_seen_urls(spark, src, query_name="fs2")
+    q2.awaitTermination(120)
+    # fresh query (fresh state): sees 150 distinct urls once each
+    n2 = spark.sql("SELECT count(*) AS n FROM fs2").collect()[0]["n"]
+    urls = spark.sql("SELECT url FROM fs2").collect()
+    assert n2 == 150
+    assert len({r["url"] for r in urls}) == 150
