@@ -535,6 +535,57 @@ WHERE contains(text, kw)
 """
 
 
+def _f8_to_json(spark, sf):
+    """F8: JSON serialization (filter_disease.py:103-104 analog)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+_F8_SQL = """
+SELECT event_id, to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+FROM events
+"""
+
+
+def _ngram_jaccard_pairs(spark, sf):
+    """Exact char-5-gram Jaccard for every doc pair in a 100-doc slice
+    (the verification kernel behind LSH candidate checking), JVM-side."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - 5, F.lit(0))),
+            lambda i: norm.substr(i + 1, F.lit(5)),
+        )
+    )
+    sh = d.select(F.col("doc_id"), shingles.alias("g"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(norm, i, 5) FOR i IN generate_series(1, greatest(len(norm) - 4, 1))]) AS g
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id < 100)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(a.g || b.g)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
 def _dedup_exact(spark, sf):
     from kgspark.ops.dedup import exact_dedup
 
@@ -891,7 +942,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_rlike_filter": _p6_rlike_filter,
         "f_string_funcs": _f_string_funcs,
         "f7_from_json": _f7_from_json,
+        "f8_to_json": _f8_to_json,
         "x6_mentions": _x6_mentions,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_exact": _dedup_exact,
         "fingerprint_md5": _fingerprint_md5,
         "lang_id": _lang_id,
@@ -936,7 +989,9 @@ def oracle_sql() -> dict[str, str]:
         "p6_rlike_filter": _P6_SQL,
         "f_string_funcs": _F_STRING_SQL,
         "f7_from_json": _F7_SQL,
+        "f8_to_json": _F8_SQL,
         "x6_mentions": _X6_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "fingerprint_md5": _FINGERPRINT_SQL,
         "lang_id": _lang_id_sql(),

@@ -102,3 +102,39 @@ def test_apply_canonicalization(spark):
     }
     assert ("REFUSES_DISEASE", "恶性肿瘤") in out
     assert ("ALLOWS_AGE", "0-65周岁") in out  # AgeRange untouched
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property check: join-based CC equals a classic union-find on a
+    deterministic pseudo-random graph (including isolated self-loops)."""
+    n_nodes, n_edges = 300, 260
+    edges = [((i * 7919) % n_nodes, (i * 104729 + 13) % n_nodes) for i in range(n_edges)]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for v in (a, b):
+            expected[v] = find(v)
+    # normalize: component id = min member (matches the engine's contract)
+    groups = {}
+    for v, c in expected.items():
+        groups.setdefault(c, set()).add(v)
+    exp_map = {v: min(g) for g in groups.values() for v in g}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in components.connected_components(df, max_iter=50).collect()
+    }
+    assert got == exp_map
