@@ -212,7 +212,7 @@ def minhash_dedup(
 
 def embedding_neardup_pairs(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    top_pairs: int = 20,
+    top_pairs: int = 20, max_corpus_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: the ``top_pairs`` most similar
     (a < b) pairs by exact cosine.
@@ -227,6 +227,14 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    n = embeddings.count()
+    if n > max_corpus_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact all-pairs kernel for "
+            f"dimension-scale inputs (got {n} rows > {max_corpus_rows}); at "
+            f"corpus scale bucket first with similarity.with_lsh_bucket or "
+            f"similarity.ivf_assign and run this kernel per bucket"
+        )
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows])
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
