@@ -42,15 +42,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_POLY_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (wraps mod 2^64)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character-k-gram hash set (uint64) of whitespace-normalized text."""
-    norm = " ".join(text.split()).lower()
+    """Byte-k-gram hash set (uint64) of whitespace-normalized text.
+
+    Deterministic across processes and runs (unlike builtin ``hash``, which
+    is seed-randomized and would make signatures drift between driver runs)
+    and fully vectorized: sliding byte windows dot a power vector in uint64
+    wraparound arithmetic; the splitmix-style mix in ``_minhash_signature``
+    decorrelates the polynomial structure.
+    """
+    norm = " ".join(text.split()).lower().encode("utf-8")
     if len(norm) < k:
-        norm = norm.ljust(k, "\x00")
-    shingles = {norm[i : i + k] for i in range(len(norm) - k + 1)}
-    return np.fromiter(
-        (hash(s) & 0xFFFFFFFFFFFFFFFF for s in shingles), dtype=np.uint64, count=len(shingles)
-    )
+        norm = norm.ljust(k, b"\x00")
+    arr = np.frombuffer(norm, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    powers = _POLY_B ** np.arange(k, dtype=np.uint64)
+    return np.unique(win @ powers)  # wraparound mod 2^64 intended
 
 
 def _minhash_signature(hashes: np.ndarray, n_perm: int) -> np.ndarray:
@@ -68,10 +78,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, text) -> (id, sig array<long>) via Arrow-batched numpy minhash.
 
-    PYTHONHASHSEED note: ``hash(str)`` is randomized per process; Spark
-    pins PYTHONHASHSEED for workers, and signatures are only compared within
-    one job, so determinism holds within a run. Cross-run-stable signatures
-    would swap ``hash`` for md5 — not needed for dedup-within-corpus.
+    Signatures are deterministic across runs and processes (vectorized
+    polynomial byte-shingle hashing — no builtin ``hash``), so signature
+    stores can be reused between jobs and reruns reproduce bit-identically.
     """
     cols = df.select(id_col, text_col)
 

@@ -162,3 +162,19 @@ def test_ivf_assign_deterministic(spark):
     a2 = {r["vec_id"]: r["centroid"] for r in similarity.ivf_assign(emb, c2).collect()}
     assert a1 == a2
     assert len(set(a1.values())) > 1  # actually clusters
+
+
+def test_minhash_signatures_cross_run_deterministic(spark, near_dup_docs):
+    """Signatures must be reproducible across processes: compare against the
+    same computation in a PYTHONHASHSEED-independent subprocess."""
+    import subprocess, sys, json
+    sigs = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(near_dup_docs).collect()}
+    code = (
+        "import sys, json; sys.path.insert(0, '/root/repo')\n"
+        "from kgspark.ops.dedup import _minhash_signature, _shingle_hashes\n"
+        "base = 'the quick brown fox jumps over the lazy dog ' * 8\n"
+        "sig = _minhash_signature(_shingle_hashes(base, 5), 64).astype('int64')\n"
+        "print(json.dumps(sig.tolist()))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert json.loads(out.stdout) == sigs[1]
