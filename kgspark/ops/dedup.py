@@ -302,6 +302,43 @@ def simhash_signatures(
     return cols.mapInPandas(run, schema=f"{id_col} long, simhash long")
 
 
+def simhash_neardup_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Hamming-distance near-dup search over 64-bit simhashes.
+
+    Pigeonhole banding: two signatures within ``max_hamming`` (< n_bands)
+    bits share at least one exact 16-bit band -> candidates are same-band
+    joins (uniform bucket keys), verified exactly with bit_count(xor) —
+    JVM-side, no Python. Returns (a, b, hamming) with a < b.
+    """
+    width = 64 // n_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(F.col("band"), F.col("band_val"), F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"))
+    b = banded.select(F.col("band"), F.col("band_val"), F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup clusters = identical simhash (hamming-0 tier; banded
     hamming<k search is the LSH path above). Returns one representative per

@@ -178,3 +178,12 @@ def test_minhash_signatures_cross_run_deterministic(spark, near_dup_docs):
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert json.loads(out.stdout) == sigs[1]
+
+
+def test_simhash_neardup_pairs(spark, near_dup_docs):
+    sigs = dedup.simhash_signatures(near_dup_docs)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_neardup_pairs(sigs, max_hamming=7, n_bands=8).collect()}
+    assert pairs[(1, 2)] == 0  # exact dups -> identical signatures
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0  # near dup, few bits differ
+    assert (1, 4) not in pairs and (4, 5) not in pairs
