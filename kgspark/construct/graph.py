@@ -74,28 +74,41 @@ def stub_records_from_triples(triples: DataFrame) -> DataFrame:
 
 
 def canonicalize_nodes(records: DataFrame) -> DataFrame:
-    """A1: distinct (label, name) with last-write-wins, null-deleted props.
+    """A1: distinct (label, name) with per-key last-write-wins props.
 
-    Split by scale tier: the corpus-sized stub stream (props NULL — triple
-    endpoints at 10^12-doc scale) goes through a plain two-phase HASH
-    aggregate; only prop-bearing SET records (dimension catalogs) pay the
-    ``max_by(props, seq)`` aggregate, which Spark must plan as a
-    SortAggregate because a map-typed buffer is not hash-aggregable. Keeping
-    the sort agg off the corpus path is the difference between sorting
-    billions of rows and sorting thousands.
+    Neo4j ``SET n += props`` is a PER-KEY upsert: the latest record that
+    mentions key k with a non-null value sets it, a null value deletes it,
+    and records not mentioning k leave it untouched. (A whole-record
+    ``max_by(props, seq)`` is only equivalent when every SET carries every
+    key — true of the reference loaders, but the property-based MERGE-replay
+    test showed it wipes keys on partial updates, so the semantics here are
+    per-key.) Implementation: explode SET records to (key, value, seq)
+    entries, latest write per (label, name, key), drop null winners
+    (deletes), regroup with map_from_entries.
 
-    Stubs never outrank SET records (reference: MERGE on an edge tail sets no
-    props), which the split encodes structurally instead of via seq=-1.
+    Scale tiers: the corpus-sized stub stream (props NULL — triple endpoints
+    at 10^12-doc scale) only passes the two-phase hash-agg ``distinct``; the
+    entry explode/regroup touches SET records alone (dimension catalogs).
+    Stubs never outrank SET records structurally (they carry no entries).
     """
     all_names = records.select("label", "name").distinct()  # hash agg, corpus-scale
     setters = records.filter(F.col("props").isNotNull())
-    won = setters.groupBy("label", "name").agg(
-        F.max_by("props", "seq").alias("props_raw")
+    entries = setters.select(
+        "label", "name", "seq", F.explode("props").alias("key", "value")
+    )
+    latest = entries.groupBy("label", "name", "key").agg(
+        F.max_by("value", "seq").alias("value")
+    )
+    won = (
+        latest.filter(F.col("value").isNotNull())
+        .groupBy("label", "name")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias(
+                "props_raw"
+            )
+        )
     )
     empty_map = F.from_json(F.lit("{}"), "map<string,string>")
-    clean = F.map_filter(
-        F.coalesce(F.col("props_raw"), empty_map), lambda _, v: v.isNotNull()
-    )
     # join strategy left to AQE: it converts to broadcast at runtime when the
     # SET-record side is small (always, in this engine's uses), but a forced
     # hint would be wrong if a caller ever feeds corpus-scale SET records
@@ -103,7 +116,7 @@ def canonicalize_nodes(records: DataFrame) -> DataFrame:
         entity_id(F.col("label"), F.col("name")).alias("entity_id"),
         "label",
         "name",
-        F.coalesce(clean, empty_map).alias("props"),
+        F.coalesce("props_raw", empty_map).alias("props"),
     )
 
 
