@@ -21,26 +21,81 @@ Scale notes:
   aggregate side is two-phase (map-side partial min) so fan-in collapses
   before the shuffle;
 - ``localCheckpoint`` every iteration cuts the exponentially growing lineage
-  (the classic iterative-join pitfall).
+  (the classic iterative-join pitfall);
+- below ``local_threshold`` edges the component labeling collapses to a
+  driver-side union-find over the collected edge list. This is the standard
+  endgame of distributed CC (GraphX/GraphFrames likewise finish small
+  frontiers locally): an alias-similarity edge list is *dictionary*-scale
+  (~10^6-10^8 forms for 10^12 docs), each edge is two longs, and one
+  union-find pass beats 5-10 shuffle rounds by an order of magnitude wall
+  clock. Inputs above the threshold take the iterative join path unchanged.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CC_LOCAL_THRESHOLD = 2_000_000  # edges; ~32 MB of (long, long) on the driver
+
+
+def _local_components(spark, pairs: list[tuple[int, int]]) -> DataFrame:
+    """Driver union-find with min-id canonical labels (path-halving).
+
+    Produces exactly the iterative fixpoint's output: every node that appears
+    in an edge, labeled with the minimum node id of its component.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id keeps the label = min(component)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(x, find(x)) for x in parent]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("component", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 15
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 15,
+    local_threshold: int = _CC_LOCAL_THRESHOLD,
 ) -> DataFrame:
     """(src, dst) long-id edge list -> (id, component) with component = min
-    node id in the component. Convergence-checked each iteration."""
+    node id in the component. Convergence-checked each iteration; edge lists
+    under ``local_threshold`` run as a driver union-find (see module doc)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # materialize the edge list once: every iteration joins against it, and
     # without this the full upstream derivation (LSH joins, Python signature
     # stages, ...) re-executes per iteration
     sym = sym.localCheckpoint()
+    if local_threshold and sym.count() <= local_threshold:
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        return _local_components(edges.sparkSession, pairs)
     comp = (
         sym.select(F.col("a").alias("id"))
         .distinct()

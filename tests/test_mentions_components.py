@@ -104,9 +104,15 @@ def test_apply_canonicalization(spark):
     assert ("ALLOWS_AGE", "0-65周岁") in out  # AgeRange untouched
 
 
-def test_connected_components_vs_union_find(spark):
-    """Property check: join-based CC equals a classic union-find on a
-    deterministic pseudo-random graph (including isolated self-loops)."""
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_connected_components_vs_union_find(spark, threshold):
+    """Property check: CC equals a classic union-find on a deterministic
+    pseudo-random graph (including isolated self-loops) — on BOTH physical
+    paths: threshold=0 forces the iterative join fixpoint, the default
+    threshold takes the driver union-find endgame."""
     n_nodes, n_edges = 300, 260
     edges = [((i * 7919) % n_nodes, (i * 104729 + 13) % n_nodes) for i in range(n_edges)]
 
@@ -135,6 +141,8 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["id"]: r["component"]
-        for r in components.connected_components(df, max_iter=50).collect()
+        for r in components.connected_components(
+            df, max_iter=50, local_threshold=threshold
+        ).collect()
     }
     assert got == exp_map
