@@ -865,6 +865,368 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# analytics widening: multi-join plans, semi/anti, set ops, cube, windows,
+# date/higher-order functions, as-of + range joins, portable minhash
+# ---------------------------------------------------------------------------
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join, broadcast dim, deterministic top-10.
+
+    Catalyst broadcast-joins the filtered customer side (hinted) so only the
+    lineitem<->orders equi-join shuffles.
+    """
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5_region_volume(spark, sf):
+    """TPC-H Q5 shape: 6-table join with the nation/region dims broadcast;
+    the supplier-nation = customer-nation condition rides the supplier join."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    sup = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _semi_anti_customers(spark, sf):
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS) in one result."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    with_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    w = with_o.groupBy("c_mktsegment").agg(F.count("*").alias("n_with"))
+    wo = without.groupBy("c_mktsegment").agg(F.count("*").alias("n_without"))
+    return (
+        w.join(wo, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+_SEMI_ANTI_SQL = """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with,
+       count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without
+FROM customer c GROUP BY c_mktsegment
+"""
+
+
+def _set_ops_keys(spark, sf):
+    """INTERSECT / EXCEPT (distinct semantics) between two key domains."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    e = _t(spark, sf, "events").select(F.col("user_id").alias("key"))
+    inter = o.intersect(e).withColumn("op", F.lit("intersect"))
+    exc = o.subtract(e).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+_SET_OPS_SQL = """
+SELECT key, 'intersect' AS op FROM (SELECT o_custkey AS key FROM orders INTERSECT SELECT user_id FROM events)
+UNION ALL
+SELECT key, 'except' AS op FROM (SELECT o_custkey AS key FROM orders EXCEPT SELECT user_id FROM events)
+"""
+
+
+def _cube_events(spark, sf):
+    """CUBE grouping sets over (event_type, day-of-week)."""
+    ev = _t(spark, sf, "events").withColumn("dow", F.dayofweek("ts") - 1)
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total"),
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type, dow, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+FROM (SELECT event_type, date_part('dow', ts) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+def _window_analytics(spark, sf):
+    """Analytic windows: row_number, lag delta, explicit-ROWS running sum."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("seq"),
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2).alias("delta_prev"),
+            F.round(F.sum(_dec("o_totalprice")).over(wr).cast("double"), 2).alias("run_total"),
+        )
+        .filter(F.col("seq") <= 3)
+    )
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS seq,
+         round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_total
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) WHERE seq <= 3
+"""
+
+
+def _asof_join_events(spark, sf):
+    """Point-in-time join: each event gets the user's latest prior order
+    (kgspark.ops.asof — single-shuffle union-window sort-merge)."""
+    from kgspark.ops.asof import asof_join
+
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+_ASOF_SQL = """
+WITH rr AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+FROM events e ASOF LEFT JOIN rr
+  ON e.user_id = rr.o_custkey AND e.ts >= rr.o_orderdate
+"""
+
+
+def _range_band_join(spark, sf):
+    """Range (theta) join: parts binned into price bands via broadcast BNLJ."""
+    bands = spark.createDataFrame(
+        [("low", 900.0, 940.0), ("mid", 940.0, 980.0), ("high", 980.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    part = _t(spark, sf, "part")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("p_retailprice")).cast("double"), 2).alias("sum_price"),
+        )
+    )
+
+
+_RANGE_BAND_SQL = """
+SELECT band, count(*) AS n,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM part JOIN (VALUES ('low', 900.0, 940.0), ('mid', 940.0, 980.0), ('high', 980.0, 1000.0))
+     AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+def _f_date_funcs(spark, sf):
+    """Date/time function parity: trunc, year, dow, datediff, date_add."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias("days_to_2002"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+    )
+
+
+_F_DATE_SQL = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       date_part('year', o_orderdate) AS yr,
+       date_part('dow', o_orderdate) AS dow,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+FROM orders
+"""
+
+
+def _percentile_stats(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def _f_higher_order(spark, sf):
+    """Array higher-order functions: transform / filter / aggregate / max."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    tokens = F.split(norm, " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.aggregate(tokens, F.lit(0), lambda acc, x: acc + F.length(x)).alias("sum_chars"),
+        F.size(F.filter(tokens, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.array_max(F.transform(tokens, lambda x: F.length(x))).alias("max_len"),
+    )
+
+
+_F_HIGHER_ORDER_SQL = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_sum(list_transform(toks, x -> length(x))) AS sum_chars,
+       len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+       list_max(list_transform(toks, x -> length(x))) AS max_len
+FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _minhash_portable_sig(spark, sf):
+    """Engine-portable MinHash: 4 md5-domain min-hashes over 5-gram shingles.
+
+    Unlike the production xxhash64/splitmix signatures (rows-only check),
+    this variant is bit-reproducible in ANSI SQL: min over lowercase-hex md5
+    of each shingle per seed — hex-string order == numeric order.
+    """
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - 4, F.lit(1)))
+    shingles = F.transform(positions, lambda i: norm.substr(i, F.lit(5)))
+
+    def sig(seed):
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{seed}"))))
+        ).alias(f"h{seed}")
+
+    return d.select("doc_id", sig(0), sig(1), sig(2), sig(3))
+
+
+_MINHASH_PORTABLE_SQL = """
+SELECT doc_id,
+       list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':0'))) AS h0,
+       list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':1'))) AS h1,
+       list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':2'))) AS h2,
+       list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':3'))) AS h3
+FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
+      FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+            FROM documents WHERE text IS NOT NULL))
+"""
+
+
+def _having_agg(spark, sf):
+    """GROUP BY ... HAVING on an aggregate (filter over grouped plan)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+
+
+_HAVING_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY l_orderkey
+HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 150
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -956,6 +1318,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": _rollup_counts,
         "sessionize": _sessionize,
         "stream_window_counts": _stream_window_counts,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_volume": _q5_region_volume,
+        "semi_anti_customers": _semi_anti_customers,
+        "set_ops_keys": _set_ops_keys,
+        "cube_events": _cube_events,
+        "window_analytics": _window_analytics,
+        "asof_join_events": _asof_join_events,
+        "range_band_join": _range_band_join,
+        "f_date_funcs": _f_date_funcs,
+        "percentile_stats": _percentile_stats,
+        "f_higher_order": _f_higher_order,
+        "minhash_portable_sig": _minhash_portable_sig,
+        "having_agg": _having_agg,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1003,5 +1378,18 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": _ROLLUP_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "stream_window_counts": _STREAM_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_volume": _Q5_SQL,
+        "semi_anti_customers": _SEMI_ANTI_SQL,
+        "set_ops_keys": _SET_OPS_SQL,
+        "cube_events": _CUBE_SQL,
+        "window_analytics": _WINDOW_ANALYTICS_SQL,
+        "asof_join_events": _ASOF_SQL,
+        "range_band_join": _RANGE_BAND_SQL,
+        "f_date_funcs": _F_DATE_SQL,
+        "percentile_stats": _PERCENTILE_SQL,
+        "f_higher_order": _F_HIGHER_ORDER_SQL,
+        "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
+        "having_agg": _HAVING_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

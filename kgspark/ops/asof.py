@@ -1,0 +1,98 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+
+For every left row, attach the most recent right row whose timestamp is at
+or before the left row's timestamp, within equal join keys — the standard
+point-in-time join of time-series / feature-store pipelines (DuckDB ``ASOF
+JOIN``, pandas ``merge_asof``).
+
+Physical strategy (scale-first, no Python): the classic union trick.
+Left and right rows are interleaved into ONE stream keyed by the join key;
+a single window ``last(value, ignorenulls=True)`` ordered by (ts, side)
+carries the latest right-row values forward onto each left row.
+
+- ONE shuffle (hash by key) + ONE sort per partition — exactly the cost of a
+  sort-merge join, with no join explosion: a key with L left rows and R right
+  rows costs O((L+R) log(L+R)) locally, never O(L*R) as the naive
+  ``l.ts >= r.ts`` range-join formulation does.
+- Right rows sort before left rows at equal timestamps, giving inclusive
+  (>=) semantics.
+- Rows never cross the Arrow boundary: the whole operator is window
+  expressions inside whole-stage codegen.
+- Skewed keys: the shuffle key is the join key; a pathological single-key
+  stream degrades to one sorted partition — salt by time-bucket upstream if
+  one key dominates (the window cannot cross salt boundaries safely, so the
+  operator itself stays unsalted).
+
+The right side must be unique per (key, ts); ``asof_join`` deterministically
+pre-collapses duplicates by keeping the lexicographically greatest value
+struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right_ts <= left_ts`` per key.
+
+    Returns all left columns plus ``right_cols`` (null when no right row
+    precedes the left row). Column name collisions must be resolved by the
+    caller (rename before joining).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+
+    # deterministic right side: one row per (key, ts)
+    r = (
+        right.groupBy(F.col(on).alias(on), F.col(right_ts).alias("_ts"))
+        .agg(F.max(F.struct(*right_cols)).alias("_r"))
+        .select(on, "_ts", *[F.col(f"_r.{c}").alias(c) for c in right_cols])
+    )
+
+    carry = [c for c in left.columns if c not in (on, left_ts)]
+    l_tagged = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in carry],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = r.select(
+        F.col(on).alias(on),
+        F.col("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in carry],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        on,
+        "_ts",
+        "_side",
+        *[F.col(f"_l_{c}") for c in carry],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+    )
+    out = [
+        F.col(on) if c == on else F.col("_ts").alias(left_ts) if c == left_ts
+        else F.col(f"_l_{c}").alias(c)
+        for c in left.columns
+    ]
+    return carried.filter(F.col("_side") == 1).select(
+        *out, *[F.col(f"_r_{c}").alias(c) for c in right_cols]
+    )

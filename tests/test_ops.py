@@ -187,3 +187,31 @@ def test_simhash_neardup_pairs(spark, near_dup_docs):
     assert pairs[(1, 2)] == 0  # exact dups -> identical signatures
     assert (1, 3) in pairs and pairs[(1, 3)] > 0  # near dup, few bits differ
     assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time semantics: latest right row at-or-before, per key;
+    inclusive at equal ts; null when nothing precedes; duplicate right
+    (key, ts) rows collapse deterministically to the max value struct."""
+    from kgspark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3"), (3, 9, "e4")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 49, 490.0), (2, 50, 500.0),
+         (2, 50, 501.0), (9, 1, 999.0)],
+        "k long, rts long, val double",
+    )
+    out = {
+        r["ev"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["val"]
+        ).collect()
+    }
+    assert out["e1"] == 100.0   # inclusive: rts == ts matches
+    assert out["e2"] == 150.0   # latest preceding, not first
+    assert out["e0"] is None    # nothing at-or-before
+    assert out["e3"] == 501.0   # dup (key, ts) right rows -> max struct
+    assert out["e4"] is None    # key with no right rows at all
