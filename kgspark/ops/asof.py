@@ -41,12 +41,17 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
+    dedup_right: bool = True,
 ) -> DataFrame:
     """Left as-of join: latest right row with ``right_ts <= left_ts`` per key.
 
     Returns all left columns plus ``right_cols`` (null when no right row
     precedes the left row). Column name collisions must be resolved by the
     caller (rename before joining).
+
+    ``dedup_right=False`` skips the right-side (key, ts)-uniqueness collapse
+    when the caller guarantees it (e.g. reading a deduplicated snapshot
+    table); the whole operator is then exactly ONE exchange + one sort.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
@@ -54,12 +59,17 @@ def asof_join(
     if overlap:
         raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
 
-    # deterministic right side: one row per (key, ts)
-    r = (
-        right.groupBy(F.col(on).alias(on), F.col(right_ts).alias("_ts"))
-        .agg(F.max(F.struct(*right_cols)).alias("_r"))
-        .select(on, "_ts", *[F.col(f"_r.{c}").alias(c) for c in right_cols])
-    )
+    if dedup_right:
+        # deterministic right side: one row per (key, ts)
+        r = (
+            right.groupBy(F.col(on).alias(on), F.col(right_ts).alias("_ts"))
+            .agg(F.max(F.struct(*right_cols)).alias("_r"))
+            .select(on, "_ts", *[F.col(f"_r.{c}").alias(c) for c in right_cols])
+        )
+    else:
+        r = right.select(
+            F.col(on).alias(on), F.col(right_ts).alias("_ts"), *right_cols
+        )
 
     carry = [c for c in left.columns if c not in (on, left_ts)]
     l_tagged = left.select(

@@ -4,16 +4,17 @@ Four tiers, cheapest first:
 
 - exact: hash-groupBy on a normalized fingerprint (two-phase aggregate);
 - MinHash + LSH: shingle -> minhash signature (numpy, Arrow-batched) ->
-  band buckets -> self-join within buckets -> verified candidate pairs;
+  band buckets -> one-shuffle per-bucket pairing -> verified candidate pairs;
 - SimHash: 64-bit signature, near-dups = identical signature (or banded
   prefixes for hamming<k);
 - n-gram Jaccard: exact verification used on LSH candidates (and usable
   standalone on small sets).
 
-Scale notes: the LSH self-join shuffles on (band, bucket) — bucket keys are
-md5-derived, so uniformly distributed; degenerate buckets (boilerplate
-corpora) are handled by ``max_bucket_size`` which drops pathological buckets
-instead of exploding the join (logged via the returned frame, never silent).
+Scale notes: the LSH pairing shuffles once on (band, bucket) — bucket keys
+are md5-derived, so uniformly distributed; per-group state is bounded by
+``max_bucket_size``, and degenerate buckets (boilerplate corpora) are
+dropped instead of exploding quadratically (logged via the returned frame,
+never silent).
 """
 
 from __future__ import annotations

@@ -109,3 +109,32 @@ def test_whole_stage_codegen_in_scan_path(spark):
     df.collect()  # AQE finalizes the plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WholeStageCodegen" in plan or "*(1)" in plan, plan[:2000]
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join's plan must contain exactly ONE hash exchange (the key
+    shuffle) and no join operator at all — the whole point-in-time match is a
+    window over the unioned stream, so there is no O(L*R) join to explode."""
+    from kgspark.ops.asof import asof_join
+
+    left = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    right = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_custkey AS user_id", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey"], dedup_right=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    # default path adds exactly one more (small, right-side-only) exchange
+    # for the (key, ts) uniqueness collapse
+    dedup = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    plan2 = dedup._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange hashpartitioning") == 2, plan2[:3000]
