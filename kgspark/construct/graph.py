@@ -160,3 +160,34 @@ def save_graph(
     edges.withColumn("bucket", F.pmod(F.col("src_id"), F.lit(n_buckets))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{out_dir}/edges")
+
+
+def save_graph_tables(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_buckets: int = 32,
+    prefix: str = "kg",
+) -> tuple[str, str]:
+    """S7 catalog variant: true Spark bucketing (``bucketBy`` + ``sortBy`` +
+    ``saveAsTable``), the sandbox stand-in for Iceberg's ``bucket(entity_id)``
+    hidden partitioning.
+
+    Unlike directory-partitioned parquet (``save_graph``), catalog tables
+    carry bucketing metadata, so a downstream ``edges.src_id = nodes.
+    entity_id`` join (same bucket count on both sides) plans a sort-merge
+    join with ZERO exchanges — each task reads one co-bucketed file pair.
+    This is the layout the 100 TB deployment uses for every graph-expand
+    query; asserted in tests/test_skew_and_plans.py.
+
+    Returns the two table names.
+    """
+    nt, et = f"{prefix}_nodes", f"{prefix}_edges"
+    (
+        nodes.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "entity_id").sortBy("entity_id").saveAsTable(nt)
+    )
+    (
+        edges.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "src_id").sortBy("src_id").saveAsTable(et)
+    )
+    return nt, et

@@ -138,3 +138,31 @@ def test_asof_join_single_shuffle(spark):
     )
     plan2 = dedup._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange hashpartitioning") == 2, plan2[:3000]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """save_graph_tables writes true bucketed tables: the src-resolution join
+    (edges.src_id = nodes.entity_id, equal bucket counts) must plan a
+    sort-merge join with ZERO exchanges — the co-located layout every graph
+    expand reads at 100 TB. Broadcast is disabled for the assertion since AQE
+    would (correctly) broadcast these tiny test tables otherwise."""
+    from kgspark.construct.graph import save_graph_tables
+    from kgspark.tpch_graph import build_tpch_graph
+
+    nodes, edges = build_tpch_graph(spark, SF_DIR)
+    nt, et = save_graph_tables(nodes, edges, n_buckets=8, prefix="t_bjoin")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        n, e = spark.table(nt), spark.table(et)
+        j = e.join(n, e.src_id == n.entity_id)
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert plan.count("Exchange") == 0, plan[:2000]
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {nt}")
+        spark.sql(f"DROP TABLE IF EXISTS {et}")
