@@ -72,7 +72,7 @@ def run_level(cpus: int, n_docs: int, parts: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 3_840_000
     out_md = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("BENCH/BASELINE.md")
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     n_hi = 4 * n_lo

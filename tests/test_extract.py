@@ -22,14 +22,69 @@ def test_html_extractor_pinned_behavior():
 
 def test_extraction_byte_identical_per_url(spark):
     """BASELINE.json per-row invariant: Spark-stage text == pinned extractor
-    applied row-wise, byte for byte, per url."""
+    applied row-wise, byte for byte, per url — and the production extractor
+    (fast scanner + fallback) == the pinned HTMLParser reference."""
     pdf = fixtures.web_pages_pdf(200, both_cols=True)
     pages = spark.createDataFrame(pdf.assign(text=None)[["url", "warc_ts", "html", "text", "lang"]])
     extracted = {r["url"]: r["text"] for r in html.with_extracted_text(pages).collect()}
     for _, row in pdf.iterrows():
-        expected = html.extract_text(row["html"])
+        expected = html.extract_text_reference(row["html"])
+        assert html.extract_text(row["html"]) == expected, row["url"]
         assert extracted[row["url"]] == expected, row["url"]
         assert extracted[row["url"]].encode() == row["text"].encode(), "fixture text convention drifted"
+
+
+_ADVERSARIAL_HTML = [
+    b"<p>a<script>if(a<b){}</script>b</p>",
+    b"<p>a<script>document.write('<p>inner</p>')</script>b</p>",
+    b"<p>a &amp; b</p>",
+    b'<p a="x>y">q</p>',
+    b"<p/><li>i</li>",
+    b"</p attr><p>x</p>",
+    b"<!-- comment --><p>x</p>",
+    b"<P>UPPER</P>",
+    b"<script>no close <p>hidden</p>",
+    b"<p>text with < stray</p>",
+    b"<nav><nav><p>deep</p></nav><p>still nav</p></nav><p>out</p>",
+    b"<script >x</script><p>y</p>",
+    b"<SCRIPT>x</SCRIPT><p>ok</p>",
+    b"<script>x</script foo><p>y</p></script>",
+    b"</ p><p>sp</p>",
+    b"<my-tag><p>custom</p></my-tag>",
+    b"\xff\xfe<p>bad utf8 \xc3</p>",
+]
+
+
+def test_fast_extractor_equals_reference_adversarial():
+    """The fast scanner must be byte-identical to the HTMLParser reference on
+    every construct class it claims to handle or delegate."""
+    for case in _ADVERSARIAL_HTML:
+        assert html.extract_text(case) == html.extract_text_reference(case), case
+
+
+def test_fast_extractor_equals_reference_fuzz():
+    """Seeded random tag-soup fuzz: production extractor == reference on 5000
+    documents mixing every divergence-risk token; the fast path must actually
+    fire on a nontrivial share (else the speedup claim is vacuous)."""
+    import random
+
+    rng = random.Random(1234)
+    tokens = [
+        "<p>", "</p>", "<li>", "</li>", "<td>", "</td>", "<script>", "</script>",
+        "<style>", "</style>", "<nav>", "</nav>", "<head>", "</head>", "<p/>",
+        "<p class='a'>", '<p a="b">', "<P>", "</P >", "text", "中文", " ", "&amp;",
+        "&", "<", ">", "<!-- c -->", "<!doctype html>", "<?pi?>", "<div>", "</div>",
+        '<p a="x>y">', "</p attr>", "<br/>", "<script>var a<b;</script>",
+        "abc<def", "<script src='u'>", "</ p>", "<my-tag>", "<p  >", "'", '"', "\n",
+    ]
+    n_fast = 0
+    for _ in range(5000):
+        s = "".join(rng.choice(tokens) for _ in range(rng.randint(1, 25)))
+        raw = s.encode("utf-8")
+        assert html.extract_text(raw) == html.extract_text_reference(raw), raw
+        if html._extract_text_fast(s) is not None:
+            n_fast += 1
+    assert n_fast > 300
 
 
 def test_pre_extracted_text_untouched(spark):
