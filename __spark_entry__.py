@@ -1227,6 +1227,115 @@ HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 150
 """
 
 
+def _pivot_events(spark, sf):
+    """Pivot (wide aggregation): per-user event counts by type."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+"""
+
+
+def _unpivot_part(spark, sf):
+    """Unpivot / melt: wide numeric columns -> (attr, val) long format."""
+    p = _t(spark, sf, "part").withColumn("p_size_d", F.col("p_size").cast("double"))
+    return p.unpivot(
+        ["p_partkey"], ["p_size_d", "p_retailprice"], "attr", "val"
+    ).withColumn(
+        "attr", F.when(F.col("attr") == "p_size_d", "p_size").otherwise(F.col("attr"))
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+
+def _posexplode_tokens(spark, sf):
+    """posexplode: token with its position (UNNEST WITH ORDINALITY)."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+_POSEXPLODE_SQL = """
+SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _f_string_funcs2(spark, sf):
+    """Extended string functions: levenshtein, lpad, translate, repeat,
+    reverse, split_part."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    head = F.substring(F.col("text"), 1, 12)
+    return d.select(
+        "doc_id",
+        F.levenshtein(head, F.lit("batch window")).alias("lev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.translate(head, "的是", "__").alias("translated"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse(head).alias("rev"),
+        F.split_part(F.col("source"), F.lit("-"), F.lit(1)).alias("src_head"),
+    )
+
+
+_F_STRING2_SQL = """
+SELECT doc_id,
+       levenshtein(substr(text, 1, 12), 'batch window') AS lev,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+       translate(substr(text, 1, 12), '的是', '__') AS translated,
+       repeat('ab', 3) AS rep,
+       reverse(substr(text, 1, 12)) AS rev,
+       split_part(source, '-', 1) AS src_head
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _bitwise_ops(spark, sf):
+    """Bitwise functions over event ids."""
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.bit_count(eid).alias("bits"),
+        F.shiftleft(eid, 2).alias("shl"),
+        F.shiftright(eid, 2).alias("shr"),
+        eid.bitwiseAND(F.lit(255)).alias("band"),
+        eid.bitwiseOR(F.lit(16)).alias("bor"),
+        eid.bitwiseXOR(F.lit(85)).alias("bxor"),
+    )
+
+
+_BITWISE_SQL = """
+SELECT event_id,
+       bit_count(event_id) AS bits,
+       event_id << 2 AS shl,
+       event_id >> 2 AS shr,
+       event_id & 255 AS band,
+       event_id | 16 AS bor,
+       xor(event_id, 85) AS bxor
+FROM events
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1331,6 +1440,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_higher_order": _f_higher_order,
         "minhash_portable_sig": _minhash_portable_sig,
         "having_agg": _having_agg,
+        "pivot_events": _pivot_events,
+        "unpivot_part": _unpivot_part,
+        "posexplode_tokens": _posexplode_tokens,
+        "f_string_funcs2": _f_string_funcs2,
+        "bitwise_ops": _bitwise_ops,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1391,5 +1505,10 @@ def oracle_sql() -> dict[str, str]:
         "f_higher_order": _F_HIGHER_ORDER_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,
+        "pivot_events": _PIVOT_SQL,
+        "unpivot_part": _UNPIVOT_SQL,
+        "posexplode_tokens": _POSEXPLODE_SQL,
+        "f_string_funcs2": _F_STRING2_SQL,
+        "bitwise_ops": _BITWISE_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
