@@ -95,6 +95,32 @@ def main() -> None:
 
     timed("q1_pricing", q1)
 
+    # --- q3_join (3-way join + broadcast dim + top-k) -----------------------
+    import __spark_entry__ as entry
+
+    q3 = entry.queries()["q3_shipping_priority"]
+
+    def q3_join():
+        q3(spark, sf_dir).collect()
+
+    timed("q3_join", q3_join)
+
+    # --- asof_join (point-in-time join, single-shuffle union-window) --------
+    from kgspark.ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "ts")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey AS user_id", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+
+    def asof():
+        extras["asof_rows"] = asof_join(
+            ev, od, on="user_id", left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderkey", "o_totalprice"],
+        ).count()
+
+    timed("asof_join", asof)
+
     # --- minhash_dedup ------------------------------------------------------
     from kgspark.ops.dedup import minhash_dedup
 

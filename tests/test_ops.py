@@ -215,3 +215,50 @@ def test_asof_join_semantics(spark):
     assert out["e0"] is None    # nothing at-or-before
     assert out["e3"] == 501.0   # dup (key, ts) right rows -> max struct
     assert out["e4"] is None    # key with no right rows at all
+
+
+def test_asof_join_property_vs_merge_asof(spark):
+    """Property check: asof_join == pandas merge_asof (backward, inclusive)
+    on deterministic pseudo-random instances with duplicate left timestamps,
+    sparse keys, and empty-right keys."""
+    import pandas as pd
+
+    from kgspark.ops.asof import asof_join
+
+    for seed in range(5):
+        n_left, n_right, n_keys = 60 + seed * 17, 40 + seed * 11, 5
+        lrows = [
+            (i, (i * 7919 + seed) % n_keys, (i * 104729) % 50)
+            for i in range(n_left)
+        ]
+        rrows = [
+            ((i * 31 + seed) % (n_keys + 2), (i * 337) % 50, float(i))
+            for i in range(n_right)
+        ]
+        # unique (key, ts) on the right: keep max val (asof_join's collapse rule)
+        rbest: dict = {}
+        for k, ts, v in rrows:
+            rbest[(k, ts)] = max(rbest.get((k, ts), float("-inf")), v)
+        left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+        right = spark.createDataFrame(rrows, "k long, rts long, val double")
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["val"]
+            ).collect()
+        }
+        lpdf = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+        rpdf = (
+            pd.DataFrame(
+                [(k, ts, v) for (k, ts), v in rbest.items()],
+                columns=["k", "rts", "val"],
+            ).sort_values("rts")
+        )
+        exp_df = pd.merge_asof(
+            lpdf, rpdf, left_on="ts", right_on="rts", by="k", direction="backward"
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"seed={seed}"
