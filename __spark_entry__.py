@@ -1336,6 +1336,24 @@ FROM events
 """
 
 
+def _repetition_stats(spark, sf):
+    """Boilerplate detector: repeated-5-gram ratio per document."""
+    from kgspark.ops.textstats import repetition_ratio
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       round(1 - CAST(len(list_distinct(list_transform(pos, i -> substr(t, CAST(i AS INT), 5)))) AS DOUBLE)
+               / len(pos), 6) AS rep_ratio
+FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
+      FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+            FROM documents WHERE text IS NOT NULL))
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1445,6 +1463,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _posexplode_tokens,
         "f_string_funcs2": _f_string_funcs2,
         "bitwise_ops": _bitwise_ops,
+        "repetition_stats": _repetition_stats,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1510,5 +1529,6 @@ def oracle_sql() -> dict[str, str]:
         "posexplode_tokens": _POSEXPLODE_SQL,
         "f_string_funcs2": _F_STRING2_SQL,
         "bitwise_ops": _BITWISE_SQL,
+        "repetition_stats": _REPETITION_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

@@ -162,6 +162,44 @@ def save_graph(
     ).partitionBy("bucket").parquet(f"{out_dir}/edges")
 
 
+def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Executable integrity contract for a built graph (makes the module
+    docstring's "collisions are detectable" claim a runnable check):
+
+    - ``id_collisions``: entity_ids shared by more than one (label, name) —
+      xxhash64 collisions (expected 0 well past 10^9 entities);
+    - ``dup_keys``: (label, name) appearing more than once — canonicalization
+      (A1) invariant violation;
+    - ``dangling_edges``: edge endpoints with no node row — J1 stub-creation
+      invariant violation.
+
+    All three are two-phase aggregates / broadcast-free joins over the
+    (already dimension-scale) graph tables; returns counts, all of which must
+    be zero for a healthy graph.
+    """
+    id_collisions = (
+        nodes.groupBy("entity_id")
+        .agg(F.count_distinct("label", "name").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    dup_keys = (
+        nodes.groupBy("label", "name").count().filter(F.col("count") > 1).count()
+    )
+    ids = nodes.select("entity_id")
+    endpoints = (
+        edges.select(F.col("src_id").alias("entity_id"))
+        .union(edges.select(F.col("dst_id")))
+        .distinct()
+    )
+    dangling = endpoints.join(ids, "entity_id", "left_anti").count()
+    return {
+        "id_collisions": id_collisions,
+        "dup_keys": dup_keys,
+        "dangling_edges": dangling,
+    }
+
+
 def save_graph_tables(
     nodes: DataFrame,
     edges: DataFrame,

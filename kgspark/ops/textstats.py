@@ -112,3 +112,22 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("und"))
     )
     return df.withColumn("lang_pred", pred)
+
+
+def repetition_ratio(text: Column, k: int = 5) -> Column:
+    """Training-data quality signal: 1 - distinct_k_grams / total_k_grams of
+    the whitespace-normalized text. Boilerplate and template spam repeat
+    shingles heavily; natural prose scores near 0.
+
+    JVM-side throughout (transform over an index sequence + array_distinct) —
+    the same shingling shape as ops.dedup.verify_jaccard, so it rides
+    whole-stage codegen, no Python.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(k))
+    )
+    return F.round(
+        1 - F.size(F.array_distinct(shingles)) / n_grams.cast("double"), 6
+    )

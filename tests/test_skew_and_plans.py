@@ -166,3 +166,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {nt}")
         spark.sql(f"DROP TABLE IF EXISTS {et}")
+
+
+def test_q3_q5_broadcast_dims(spark):
+    """The multi-join analytics shapes must broadcast their dimension sides:
+    no shuffle of customer/nation/region for Q3/Q5 at any scale where the
+    dims stay dictionary-sized."""
+    import __spark_entry__ as entry
+
+    for name, min_bcast in [("q3_shipping_priority", 1), ("q5_region_volume", 2)]:
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan[:2000])
+
+
+def test_validate_graph_clean_and_detects_breakage(spark, mini_sources):
+    """validate_graph returns all-zero on a healthy build and actually fires
+    on an injected dangling edge."""
+    from kgspark.construct.graph import validate_graph
+    from kgspark.construct.reference_build import build_structured_graph
+
+    nodes, edges, _ = build_structured_graph(spark, mini_sources)
+    report = validate_graph(nodes, edges)
+    assert report == {"id_collisions": 0, "dup_keys": 0, "dangling_edges": 0}
+
+    broken = edges.limit(1).selectExpr(
+        "9999999 AS src_id", "rel", "dst_id"
+    ).unionByName(edges)
+    assert validate_graph(nodes, broken)["dangling_edges"] == 1
