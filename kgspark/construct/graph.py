@@ -162,6 +162,97 @@ def save_graph(
     ).partitionBy("bucket").parquet(f"{out_dir}/edges")
 
 
+def merge_into_graph(
+    spark,
+    out_dir: str,
+    node_record_frames: list[DataFrame],
+    triples: DataFrame,
+    n_buckets: int = 32,
+) -> dict:
+    """Incremental graph maintenance: fold a NEW batch of MERGE records +
+    triples into an existing ``save_graph`` layout, rewriting ONLY the
+    entity-id buckets the batch touches (dynamic partition overwrite).
+
+    Semantics = the reference's append-mode ``load_all``: re-running a loader
+    over new data MERGEs into the live graph — new records' properties
+    outrank existing node properties (last-write-wins continues across
+    batches: existing nodes re-enter canonicalization as seq=0 records, new
+    SET records are shifted to seq>=1), stubs never wipe props, edges union
+    distinct.
+
+    Cost model at 100 TB: a batch touching K of N buckets reads and rewrites
+    K/N of the node/edge tables; the untouched partitions are never scanned
+    (partition pruning on the bucket column) and never rewritten (dynamic
+    overwrite). A daily crawl increment is ~10^-3 of the corpus, so this is
+    ~1000x cheaper than the full ``build_graph`` recompute — equivalence to
+    the full rebuild is asserted in tests.
+
+    Returns {"affected_buckets": K, "n_buckets": N}.
+    """
+    from pathlib import Path
+
+    if not Path(f"{out_dir}/nodes").exists():  # bootstrap: first batch
+        frames = node_record_frames or [
+            triples.sparkSession.createDataFrame(
+                [], schema="label string, name string, props map<string,string>, seq long"
+            )
+        ]
+        nodes, edges = build_graph(frames, triples)
+        save_graph(nodes, edges, out_dir, n_buckets=n_buckets)
+        return {"affected_buckets": n_buckets, "n_buckets": n_buckets}
+
+    records = reduce(lambda a, b: a.unionByName(b), node_record_frames) if node_record_frames else None
+    stubs = stub_records_from_triples(triples)
+    new_records = (
+        records.withColumn("seq", F.col("seq") + F.lit(1)).unionByName(stubs)
+        if records is not None
+        else stubs
+    )
+
+    bucket_of = lambda c: F.pmod(c, F.lit(n_buckets))
+    touched = (
+        new_records.select(bucket_of(entity_id(F.col("label"), F.col("name"))).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    affected = sorted(int(r["bucket"]) for r in touched)
+
+    old_nodes = spark.read.parquet(f"{out_dir}/nodes").filter(
+        F.col("bucket").isin(affected)
+    )
+    old_as_records = old_nodes.select(
+        "label", "name", "props", F.lit(0).cast("long").alias("seq")
+    )
+    merged_nodes = canonicalize_nodes(old_as_records.unionByName(new_records))
+    (
+        merged_nodes.withColumn("bucket", bucket_of(F.col("entity_id")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/nodes")
+    )
+
+    new_edges = edges_from_triples(triples)
+    edge_buckets = sorted(
+        int(r["bucket"])
+        for r in new_edges.select(bucket_of(F.col("src_id")).alias("bucket")).distinct().collect()
+    )
+    old_edges = spark.read.parquet(f"{out_dir}/edges").filter(
+        F.col("bucket").isin(edge_buckets)
+    ).select("src_id", "rel", "dst_id")
+    merged_edges = old_edges.unionByName(new_edges).dropDuplicates(
+        ["src_id", "rel", "dst_id"]
+    )
+    (
+        merged_edges.withColumn("bucket", bucket_of(F.col("src_id")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/edges")
+    )
+    return {"affected_buckets": len(set(affected) | set(edge_buckets)), "n_buckets": n_buckets}
+
+
 def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
     """Executable integrity contract for a built graph (makes the module
     docstring's "collisions are detectable" claim a runnable check):

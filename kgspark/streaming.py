@@ -50,6 +50,40 @@ def stream_extract_triples(
     return writer.start()
 
 
+def stream_update_graph(
+    spark: SparkSession,
+    input_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    trigger_once: bool = True,
+):
+    """Continuous corpus -> LIVE graph: each micro-batch is extracted and
+    folded into the saved graph via incremental bucket maintenance
+    (``construct.graph.merge_into_graph``) — only the entity-id buckets the
+    batch touches are rewritten, so steady-state cost tracks batch size, not
+    graph size. Exactly-once per micro-batch via the stream checkpoint;
+    the merge itself is idempotent (re-merging a batch is a no-op: LWW with
+    identical values + distinct edges)."""
+    from kgspark.construct.graph import merge_into_graph
+
+    pages = spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        triples = extract_doc_triples(with_extracted_text(batch_df)).select(
+            "subj", "subj_type", "pred", "obj", "obj_type"
+        )
+        merge_into_graph(spark, graph_dir, [], triples, n_buckets=n_buckets)
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_first_seen_urls(
     spark: SparkSession,
     input_dir: str,

@@ -89,3 +89,122 @@ def test_rerun_is_idempotent(spark, tmp_path):
     assert r2.n_buckets_skipped == 4
     assert r2.n_buckets_processed == 0
     assert (r1.n_docs, r1.n_triples) == (r2.n_docs, r2.n_triples)
+
+
+def test_merge_into_graph_equals_full_rebuild(spark, tmp_path):
+    """Incremental maintenance contract: save(batch1) + merge(batch2) must
+    equal build(batch1 + batch2) bit-for-bit — including cross-batch
+    last-write-wins, null-deletes-key, stubs, and edge dedup — while only
+    rewriting the buckets batch2 touches."""
+    from kgspark.construct import graph as g
+    from pyspark.sql import functions as F
+
+    rec_schema = "label string, name string, props map<string,string>, seq long"
+    tri_schema = "subj string, subj_type string, pred string, obj string, obj_type string"
+    b1_records = spark.createDataFrame(
+        [
+            ("Disease", "糖尿病", {"icd": "E11", "desc": "old"}, 0),
+            ("Disease", "高血压", {"icd": "I10"}, 1),
+            ("Drug", "二甲双胍", {"form": "片剂"}, 2),
+        ],
+        rec_schema,
+    )
+    b1_triples = spark.createDataFrame(
+        [
+            ("糖尿病", "Disease", "TREATED_BY", "二甲双胍", "Drug"),
+            ("糖尿病", "Disease", "HAS_SYMPTOM", "乏力", "Symptom"),
+        ],
+        tri_schema,
+    )
+    b2_records = spark.createDataFrame(
+        [
+            ("Disease", "糖尿病", {"icd": "E11.9", "desc": None}, 0),  # LWW + null-delete
+            ("Disease", "冠心病", {"icd": "I25"}, 1),                   # new node
+        ],
+        rec_schema,
+    )
+    b2_triples = spark.createDataFrame(
+        [
+            ("糖尿病", "Disease", "TREATED_BY", "二甲双胍", "Drug"),   # dup edge
+            ("冠心病", "Disease", "HAS_SYMPTOM", "胸痛", "Symptom"),   # new edge
+        ],
+        tri_schema,
+    )
+
+    out = str(tmp_path / "graph")
+    nodes1, edges1 = g.build_graph([b1_records], b1_triples)
+    g.save_graph(nodes1, edges1, out, n_buckets=8)
+    report = g.merge_into_graph(spark, out, [b2_records], b2_triples, n_buckets=8)
+    assert 0 < report["affected_buckets"] <= 8
+
+    got_nodes = {
+        (r["label"], r["name"]): dict(r["props"])
+        for r in spark.read.parquet(f"{out}/nodes").collect()
+    }
+    got_edges = {
+        (r["src_id"], r["rel"], r["dst_id"])
+        for r in spark.read.parquet(f"{out}/edges").collect()
+    }
+
+    # full rebuild: batch2 records sequenced strictly after batch1
+    full_records = b1_records.unionByName(b2_records.withColumn("seq", F.col("seq") + 100))
+    fnodes, fedges = g.build_graph([full_records], b1_triples.unionByName(b2_triples))
+    exp_nodes = {(r["label"], r["name"]): dict(r["props"]) for r in fnodes.collect()}
+    exp_edges = {(r["src_id"], r["rel"], r["dst_id"]) for r in fedges.collect()}
+
+    assert got_nodes == exp_nodes
+    assert got_edges == exp_edges
+    assert got_nodes[("Disease", "糖尿病")] == {"icd": "E11.9"}  # desc deleted
+    report2 = g.validate_graph(
+        spark.read.parquet(f"{out}/nodes"), spark.read.parquet(f"{out}/edges")
+    )
+    assert report2 == {"id_collisions": 0, "dup_keys": 0, "dangling_edges": 0}
+
+
+def test_merge_into_graph_leaves_untouched_buckets_alone(spark, tmp_path):
+    """Scale contract: dynamic partition overwrite must not rewrite bucket
+    partitions the batch does not touch (file listing identical)."""
+    import os
+
+    from kgspark.construct import graph as g
+
+    rec_schema = "label string, name string, props map<string,string>, seq long"
+    tri_schema = "subj string, subj_type string, pred string, obj string, obj_type string"
+    base = spark.createDataFrame(
+        [("Disease", f"病{i}", {"k": str(i)}, i) for i in range(40)], rec_schema
+    )
+    tri = spark.createDataFrame(
+        [(f"病{i}", "Disease", "HAS_SYMPTOM", f"症{i}", "Symptom") for i in range(40)],
+        tri_schema,
+    )
+    out = str(tmp_path / "graph")
+    nodes, edges = g.build_graph([base], tri)
+    g.save_graph(nodes, edges, out, n_buckets=16)
+
+    def files(sub):
+        found = {}
+        for root, _, names in os.walk(f"{out}/{sub}"):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    found[p] = os.path.getmtime(p)
+        return found
+
+    before_nodes, before_edges = files("nodes"), files("edges")
+    one = spark.createDataFrame(
+        [("Disease", "病0", {"k": "updated"}, 0)], rec_schema
+    )
+    one_tri = spark.createDataFrame(
+        [("病0", "Disease", "HAS_SYMPTOM", "新症", "Symptom")], tri_schema
+    )
+    report = g.merge_into_graph(spark, out, [one], one_tri, n_buckets=16)
+    assert report["affected_buckets"] < 16  # strictly partial rewrite
+
+    after_nodes, after_edges = files("nodes"), files("edges")
+    changed_n = {p for p in before_nodes if after_nodes.get(p) != before_nodes[p]}
+    changed_e = {p for p in before_edges if after_edges.get(p) != before_edges[p]}
+    # only affected bucket dirs may change; at least one untouched bucket file
+    # must survive byte-untouched on both tables
+    untouched_n = [p for p in before_nodes if p in after_nodes and p not in changed_n]
+    untouched_e = [p for p in before_edges if p in after_edges and p not in changed_e]
+    assert len(untouched_n) > 0 and len(untouched_e) > 0

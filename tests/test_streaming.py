@@ -65,3 +65,38 @@ def test_stream_first_seen_urls_stateful_dedup(spark, tmp_path):
     urls = spark.sql("SELECT url FROM fs2").collect()
     assert n2 == 150
     assert len({r["url"] for r in urls}) == 150
+
+
+def test_stream_update_graph_incremental(spark, tmp_path):
+    """Streaming -> live graph: two micro-batch waves of pages produce the
+    same graph as batch extraction over the union of pages."""
+    from kgspark import fixtures
+    from kgspark.construct.graph import build_graph, edges_from_triples
+    from kgspark.extract.html import with_extracted_text
+    from kgspark.extract.openie import extract_doc_triples
+    from kgspark.streaming import stream_update_graph
+
+    inp = str(tmp_path / "in")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    all_pages = fixtures.web_pages_df(spark, 600)
+    all_pages.filter("url LIKE '%/page/1%'").write.mode("append").parquet(inp)
+
+    q = stream_update_graph(spark, inp, graph, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    all_pages.filter("url NOT LIKE '%/page/1%'").write.mode("append").parquet(inp)
+    q2 = stream_update_graph(spark, inp, graph, ckpt, n_buckets=8)
+    q2.awaitTermination(120)
+
+    got_edges = {
+        (r["src_id"], r["rel"], r["dst_id"])
+        for r in spark.read.parquet(f"{graph}/edges").collect()
+    }
+    triples = extract_doc_triples(with_extracted_text(all_pages)).select(
+        "subj", "subj_type", "pred", "obj", "obj_type"
+    )
+    exp_edges = {
+        (r["src_id"], r["rel"], r["dst_id"])
+        for r in edges_from_triples(triples).collect()
+    }
+    assert got_edges == exp_edges and len(exp_edges) > 0
