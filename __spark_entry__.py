@@ -1336,6 +1336,71 @@ FROM events
 """
 
 
+def _scalar_subquery(spark, sf):
+    """Correlated scalar subquery — Catalyst decorrelates it into a join."""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders_sq")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT count(*) FROM v_lineitem_sq l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM v_orders_sq o
+        """
+    )
+
+
+_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM orders o
+"""
+
+
+def _null_safe_eq(spark, sf):
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) + null-aware counts."""
+    d = _t(spark, sf, "documents")
+    probe = F.when(F.col("doc_id") % 3 == 0, F.col("lang"))  # null every 3rd
+    return d.select(
+        "doc_id",
+        probe.alias("probe"),
+        F.col("lang").eqNullSafe(probe).alias("nse_same"),
+        probe.eqNullSafe(F.lit(None).cast("string")).alias("nse_null"),
+        F.isnull(probe).alias("is_null"),
+        F.coalesce(probe, F.lit("??")).alias("filled"),
+    )
+
+
+_NULL_SAFE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN lang END AS probe,
+       lang IS NOT DISTINCT FROM (CASE WHEN doc_id % 3 = 0 THEN lang END) AS nse_same,
+       (CASE WHEN doc_id % 3 = 0 THEN lang END) IS NOT DISTINCT FROM NULL AS nse_null,
+       (CASE WHEN doc_id % 3 = 0 THEN lang END) IS NULL AS is_null,
+       coalesce(CASE WHEN doc_id % 3 = 0 THEN lang END, '??') AS filled
+FROM documents
+"""
+
+
+def _string_agg_groups(spark, sf):
+    """Ordered string aggregation per group (string_agg / listagg shape)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("ids"),
+        F.count("*").alias("n"),
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT lang,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS ids,
+       count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+
 def _repetition_stats(spark, sf):
     """Boilerplate detector: repeated-5-gram ratio per document."""
     from kgspark.ops.textstats import repetition_ratio
@@ -1464,6 +1529,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_string_funcs2": _f_string_funcs2,
         "bitwise_ops": _bitwise_ops,
         "repetition_stats": _repetition_stats,
+        "scalar_subquery": _scalar_subquery,
+        "null_safe_eq": _null_safe_eq,
+        "string_agg_groups": _string_agg_groups,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1530,5 +1598,8 @@ def oracle_sql() -> dict[str, str]:
         "f_string_funcs2": _F_STRING2_SQL,
         "bitwise_ops": _BITWISE_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "scalar_subquery": _SCALAR_SUBQUERY_SQL,
+        "null_safe_eq": _NULL_SAFE_SQL,
+        "string_agg_groups": _STRING_AGG_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

@@ -13,8 +13,8 @@ Four tiers, cheapest first:
 Scale notes: the LSH pairing shuffles once on (band, bucket) — bucket keys
 are md5-derived, so uniformly distributed; per-group state is bounded by
 ``max_bucket_size``, and degenerate buckets (boilerplate corpora) are
-dropped instead of exploding quadratically (logged via the returned frame,
-never silent).
+dropped instead of exploding quadratically (``lsh_bucket_stats`` audits the
+size distribution and what a given cap drops, so the cut is never silent).
 """
 
 from __future__ import annotations
@@ -159,6 +159,39 @@ def lsh_candidate_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 16,
+    max_bucket_size: int = 1000, n_perm: int | None = None,
+) -> DataFrame:
+    """Audit the LSH bucket-size distribution for a signature set: per bucket
+    size, one row per (band, bucket) with ``dropped`` marking buckets the
+    ``max_bucket_size`` cap would exclude from pairing. Run before committing
+    a cap on a new corpus — a heavy-tailed distribution here means
+    boilerplate (shared headers/footers) is bucketing everything together and
+    the threshold (or shingle size) needs tuning."""
+    if n_perm is None:
+        n_perm = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_perm // n_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .withColumn("dropped", F.col("size") > max_bucket_size)
     )
 
 

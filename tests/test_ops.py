@@ -262,3 +262,12 @@ def test_asof_join_property_vs_merge_asof(spark):
             for r in exp_df.itertuples()
         }
         assert got == exp, f"seed={seed}"
+
+
+def test_lsh_bucket_stats_audits_cap(spark, near_dup_docs):
+    from kgspark.ops import dedup
+
+    sigs = dedup.minhash_signatures(near_dup_docs)
+    stats = dedup.lsh_bucket_stats(sigs, max_bucket_size=2).collect()
+    assert all(r["size"] >= 1 for r in stats)
+    assert any(r["dropped"] for r in stats) or all(r["size"] <= 2 for r in stats)
