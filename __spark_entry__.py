@@ -1419,6 +1419,48 @@ FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
 """
 
 
+def _stratified_sample_docs(spark, sf):
+    """Deterministic per-language quota sample (ops/sample.py) with an
+    md5-derived order so the oracle reproduces the exact selection."""
+    from kgspark.ops.sample import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    order = F.md5(F.col("doc_id").cast("string"))
+    return stratified_sample(
+        d, stratum_col="lang", key_col="doc_id", k=5, hash_expr=order
+    ).select("doc_id", "lang")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+def _hash_sample_rate(spark, sf):
+    """Deterministic ~10% Bernoulli sample via a portable md5 bucket."""
+    from kgspark.ops.sample import hash_sample
+
+    d = _t(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10).cast(
+        "long"
+    ) % 1_000_000
+    return hash_sample(d, key_col="doc_id", rate=0.1, hash_expr=bucket).select(
+        "doc_id", "lang"
+    )
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+      % 1000000 < 100000
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1532,6 +1574,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": _scalar_subquery,
         "null_safe_eq": _null_safe_eq,
         "string_agg_groups": _string_agg_groups,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "hash_sample_rate": _hash_sample_rate,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1601,5 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_subquery": _SCALAR_SUBQUERY_SQL,
         "null_safe_eq": _NULL_SAFE_SQL,
         "string_agg_groups": _STRING_AGG_SQL,
+        "stratified_sample_docs": _STRATIFIED_SQL,
+        "hash_sample_rate": _HASH_SAMPLE_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

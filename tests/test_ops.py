@@ -271,3 +271,25 @@ def test_lsh_bucket_stats_audits_cap(spark, near_dup_docs):
     stats = dedup.lsh_bucket_stats(sigs, max_bucket_size=2).collect()
     assert all(r["size"] >= 1 for r in stats)
     assert any(r["dropped"] for r in stats) or all(r["size"] <= 2 for r in stats)
+
+
+def test_sampling_deterministic_across_partitionings(spark):
+    """Hash-derived sampling must select the SAME rows regardless of
+    partitioning or rerun (the resume requirement rand() can't meet)."""
+    from kgspark.ops.sample import hash_sample, stratified_sample
+
+    df = spark.range(2000).selectExpr(
+        "id AS key", "CAST(id % 7 AS STRING) AS stratum"
+    )
+    a = {r["key"] for r in hash_sample(df, "key", 0.25).collect()}
+    b = {r["key"] for r in hash_sample(df.repartition(13), "key", 0.25).collect()}
+    assert a == b
+    assert 0.15 < len(a) / 2000 < 0.35
+
+    s1 = {(r["key"], r["stratum"]) for r in stratified_sample(df, "stratum", "key", 10).collect()}
+    s2 = {(r["key"], r["stratum"]) for r in stratified_sample(df.repartition(17), "stratum", "key", 10).collect()}
+    assert s1 == s2
+    per = {}
+    for _, st in s1:
+        per[st] = per.get(st, 0) + 1
+    assert all(v == 10 for v in per.values()) and len(per) == 7
