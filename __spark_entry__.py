@@ -1461,6 +1461,39 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
 """
 
 
+def _session_window_batch(spark, sf):
+    """Native session_window (30-min inactivity gap) vs the classic
+    gaps-and-islands SQL formulation."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "total")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1576,6 +1609,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_groups": _string_agg_groups,
         "stratified_sample_docs": _stratified_sample_docs,
         "hash_sample_rate": _hash_sample_rate,
+        "session_window_batch": _session_window_batch,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1647,5 +1681,6 @@ def oracle_sql() -> dict[str, str]:
         "string_agg_groups": _STRING_AGG_SQL,
         "stratified_sample_docs": _STRATIFIED_SQL,
         "hash_sample_rate": _HASH_SAMPLE_SQL,
+        "session_window_batch": _SESSION_WINDOW_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

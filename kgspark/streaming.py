@@ -153,3 +153,35 @@ def stream_windowed_rates(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "sessions",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Event-time session windows per user via the NATIVE session_window
+    operator (no UDF, state managed by the streaming engine): a session
+    closes after ``gap`` of inactivity and is emitted once the watermark
+    passes its end — the standard clickstream-sessionization shape."""
+    events = spark.readStream.schema(schemas.EVENTS).parquet(input_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

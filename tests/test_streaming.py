@@ -100,3 +100,54 @@ def test_stream_update_graph_incremental(spark, tmp_path):
         for r in edges_from_triples(triples).collect()
     }
     assert got_edges == exp_edges and len(exp_edges) > 0
+
+
+def test_stream_sessionize_native_session_window(spark, tmp_path):
+    """Streaming session_window result == batch session_window over the same
+    events once the stream is drained (availableNow)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kgspark.streaming import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(3):
+        t = base + dt.timedelta(minutes=user)
+        for burst in range(3):
+            for i in range(4):
+                rows.append((eid, t, user, "click", 1.0, "{}"))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=2)  # close the session
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    inp = str(tmp_path / "events_in")
+    events.write.mode("overwrite").parquet(inp)
+
+    q = stream_sessionize(spark, inp, query_name="t_sessions", gap="30 minutes")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    exp = {
+        (r["user_id"], r["w"]["start"], r["n"])
+        for r in events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(exp) == 9  # 3 users x 3 sessions in batch mode
+    # Append mode only emits sessions the watermark has CLOSED: the last
+    # session per user ends after (max event ts - 1h watermark), so it stays
+    # in state when the availableNow drain finishes — correct streaming
+    # semantics, it would flush on the next batch of later data.
+    last_per_user = {}
+    for u, start, n in exp:
+        if u not in last_per_user or start > last_per_user[u][1]:
+            last_per_user[u] = (u, start, n)
+    exp_closed = exp - set(last_per_user.values())
+    assert got == exp_closed and len(got) == 6
