@@ -254,3 +254,30 @@ def read_insurances_spark(spark: SparkSession, path: str) -> DataFrame:
         *[F.col(f"`{chi}`").alias(eng) for eng, chi in INSURANCE_COLMAP.items()],
         F.coalesce(F.col("产品描述"), F.lit("")).alias("description"),
     )
+
+
+def read_json_quarantined(
+    spark: SparkSession, path: str, schema: T.StructType, multiline: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Production-grade scan: PERMISSIVE read with a corrupt-record column —
+    malformed rows are QUARANTINED (returned as a second frame carrying the
+    raw line) instead of failing the job or silently nulling out.
+
+    The reference swallows whole 1000-row batches on any error
+    (neo4j_loader.py:280-282, errors logged and lost); here every bad input
+    row is preserved with its raw text for reprocessing — the per-batch
+    error isolation the reference wanted, at row granularity.
+    """
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .json(path)
+    ).cache()  # Spark requires caching before referencing _corrupt_record
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

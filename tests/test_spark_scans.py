@@ -63,3 +63,32 @@ def test_s10_append_mode_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 8
     assert back.select("tag").distinct().count() == 2
+
+
+def test_corrupt_json_rows_quarantined(spark, tmp_path):
+    """Malformed source rows must be quarantined with their raw text, not
+    fail the scan or silently vanish (row-granular version of the
+    reference's swallowed per-batch errors, neo4j_loader.py:280-282)."""
+    from pyspark.sql import types as T
+
+    from kgspark.sources.structured import read_json_quarantined
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"name": "糖尿病", "icd_code": "E11"}\n'
+        "{this is not json}\n"
+        '{"name": "高血压", "icd_code": "I10"}\n'
+        '{"name": "截断的\n',
+        encoding="utf-8",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("icd_code", T.StringType(), True),
+        ]
+    )
+    good, bad = read_json_quarantined(spark, str(p), schema)
+    assert {r["name"] for r in good.collect()} == {"糖尿病", "高血压"}
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
