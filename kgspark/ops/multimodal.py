@@ -114,3 +114,58 @@ def make_fake_media(spark, n: int) -> DataFrame:
             ((i % 10 + 1) * 1000).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def sniff_media_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-byte container sniffing + header dimension parsing — REAL (not
+    stubbed) and entirely JVM-side: ``substring``/``hex``/``conv`` on the
+    binary column inside whole-stage codegen, no Python and no codec libs.
+
+    Detects PNG / JPEG / GIF / RIFF-WAV / MP4(ftyp); parses pixel dimensions
+    from the fixed-offset headers that carry them (PNG IHDR big-endian at
+    byte 17; GIF logical screen little-endian at byte 7). Codec-dependent
+    formats (JPEG SOF scan) are left null for the decode stage — sniffing is
+    the cheap corpus-wide pass that routes payloads to per-format decoders.
+    """
+    p = F.col(payload_col)
+
+    def be32(offset: int):  # 4 bytes big-endian -> long
+        return F.conv(F.hex(F.substring(p, offset, 4)), 16, 10).cast("long")
+
+    def le16(offset: int):  # 2 bytes little-endian -> long
+        lo = F.conv(F.hex(F.substring(p, offset, 1)), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.substring(p, offset + 1, 1)), 16, 10).cast("long")
+        return hi * 256 + lo
+
+    head4 = F.hex(F.substring(p, 1, 4))
+    sniffed = (
+        F.when(head4 == "89504E47", F.lit("image/png"))
+        .when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
+        .when(F.substring(p, 1, 6).cast("string").isin("GIF87a", "GIF89a"), F.lit("image/gif"))
+        .when(
+            (F.substring(p, 1, 4).cast("string") == "RIFF")
+            & (F.substring(p, 9, 4).cast("string") == "WAVE"),
+            F.lit("audio/wav"),
+        )
+        .when(F.substring(p, 5, 4).cast("string") == "ftyp", F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    width = (
+        F.when(sniffed == "image/png", be32(17))
+        .when(sniffed == "image/gif", le16(7))
+        .cast("int")
+    )
+    height = (
+        F.when(sniffed == "image/png", be32(21))
+        .when(sniffed == "image/gif", le16(9))
+        .cast("int")
+    )
+    return media.withColumn(
+        "sniffed",
+        F.struct(
+            sniffed.alias("mime"),
+            width.alias("width"),
+            height.alias("height"),
+            F.length(p).alias("n_bytes"),
+        ),
+    )

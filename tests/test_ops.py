@@ -293,3 +293,35 @@ def test_sampling_deterministic_across_partitionings(spark):
     for _, st in s1:
         per[st] = per.get(st, 0) + 1
     assert all(v == 10 for v in per.values()) and len(per) == 7
+
+
+def test_sniff_media_meta_real_headers(spark):
+    """Magic-byte sniffing + header dimension parse on REAL format headers
+    (handcrafted PNG/GIF/JPEG/WAV/MP4 byte sequences) — all JVM-side."""
+    import struct
+
+    from kgspark.ops.multimodal import sniff_media_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 3
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00"
+    wav = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+    mp4 = struct.pack(">I", 32) + b"ftypisom" + b"\x00" * 8
+    junk = b"not a media file"
+    rows = [(1, png), (2, gif), (3, jpeg), (4, wav), (5, mp4), (6, junk)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["sniffed"]["mime"], r["sniffed"]["width"], r["sniffed"]["height"]
+        )
+        for r in sniff_media_meta(df).collect()
+    }
+    assert got[1] == ("image/png", 640, 480)
+    assert got[2] == ("image/gif", 320, 200)
+    assert got[3] == ("image/jpeg", None, None)
+    assert got[4] == ("audio/wav", None, None)
+    assert got[5] == ("video/mp4", None, None)
+    assert got[6] == ("application/octet-stream", None, None)
