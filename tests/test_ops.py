@@ -325,3 +325,20 @@ def test_sniff_media_meta_real_headers(spark):
     assert got[4] == ("audio/wav", None, None)
     assert got[5] == ("video/mp4", None, None)
     assert got[6] == ("application/octet-stream", None, None)
+
+
+def test_sketch_aggregates_within_tolerance(spark):
+    """Approximate sketches (HLL count-distinct, t-digest-ish percentile)
+    must land within advertised error of exact answers — the corpus-scale
+    substitutes for exact distinct/percentile when the key space is huge."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row["approx_users"] - row["exact_users"]) <= max(3, 0.05 * row["exact_users"])
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.05 * abs(row["p50_exact"]) + 1e-6
