@@ -253,6 +253,41 @@ def merge_into_graph(
     return {"affected_buckets": len(set(affected) | set(edge_buckets)), "n_buckets": n_buckets}
 
 
+def compact_graph(spark, out_dir: str) -> dict:
+    """Operational companion to ``merge_into_graph``: every incremental merge
+    rewrites its buckets as fresh files, so a long-lived graph accumulates
+    small files (the classic streaming-table problem; Iceberg calls this
+    rewrite_data_files). Compaction rewrites each table to ONE file per
+    bucket partition — content unchanged (row-count-guarded swap, equality
+    asserted in tests), scan tasks per query drop from O(merges x buckets)
+    to O(buckets). A production deployment with buckets larger than one task
+    swaps this for Iceberg's size-targeted rewrite; the bucket key itself is
+    the repartition key, so compaction is one shuffle whose output
+    co-locates exactly with the existing layout.
+    """
+    stats = {}
+    for table in ("nodes", "edges"):
+        df = spark.read.parquet(f"{out_dir}/{table}")
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/{table}._compact")
+        )
+        compacted = spark.read.parquet(f"{out_dir}/{table}._compact")
+        n_before, n_after = df.count(), compacted.count()
+        if n_before != n_after:  # paranoia before the destructive swap
+            raise RuntimeError(
+                f"compaction row-count drift on {table}: {n_before} -> {n_after}"
+            )
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/{table}")
+        shutil.move(f"{out_dir}/{table}._compact", f"{out_dir}/{table}")
+        stats[table] = n_after
+    return stats
+
+
 def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
     """Executable integrity contract for a built graph (makes the module
     docstring's "collisions are detectable" claim a runnable check):

@@ -208,3 +208,52 @@ def test_merge_into_graph_leaves_untouched_buckets_alone(spark, tmp_path):
     untouched_n = [p for p in before_nodes if p in after_nodes and p not in changed_n]
     untouched_e = [p for p in before_edges if p in after_edges and p not in changed_e]
     assert len(untouched_n) > 0 and len(untouched_e) > 0
+
+
+def test_compact_graph_reduces_files_preserves_content(spark, tmp_path):
+    """After several incremental merges, compaction must cut the per-bucket
+    file count to 1 while leaving the graph content identical."""
+    import os
+
+    from kgspark.construct import graph as g
+
+    rec_schema = "label string, name string, props map<string,string>, seq long"
+    tri_schema = "subj string, subj_type string, pred string, obj string, obj_type string"
+    out = str(tmp_path / "graph")
+    # AQE coalescing normally collapses tiny test writes to one file per
+    # bucket; disable it so each bucket dir collects one file per shuffle
+    # task — the fragmentation shape a real many-task write produces
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for wave in range(4):
+            recs = spark.createDataFrame(
+                [("Disease", f"病{wave}_{i}", {"w": str(wave)}, i) for i in range(10)],
+                rec_schema,
+            )
+            tris = spark.createDataFrame(
+                [(f"病{wave}_{i}", "Disease", "HAS_SYMPTOM", f"症{i}", "Symptom") for i in range(10)],
+                tri_schema,
+            )
+            g.merge_into_graph(spark, out, [recs], tris, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    def n_files(sub):
+        return sum(
+            1
+            for root, _, names in os.walk(f"{out}/{sub}")
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    before_rows = {
+        (r["label"], r["name"]) for r in spark.read.parquet(f"{out}/nodes").collect()
+    }
+    before_files = n_files("nodes")
+    stats = g.compact_graph(spark, out)
+    after_rows = {
+        (r["label"], r["name"]) for r in spark.read.parquet(f"{out}/nodes").collect()
+    }
+    assert after_rows == before_rows
+    assert stats["nodes"] == len(after_rows)
+    assert n_files("nodes") <= 4 < before_files
