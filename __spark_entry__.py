@@ -1494,6 +1494,66 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def _simhash_portable(spark, sf):
+    """Engine-portable 16-bit SimHash: per-shingle md5 -> first 4 hex chars
+    -> bitwise majority vote. The production 64-bit numpy signature stays
+    rows-only; this proves the simhash *semantics* (shingle hashing, bit
+    votes, majority) value-for-value against ANSI SQL."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - 4, F.lit(1)))
+    shingles = F.transform(positions, lambda i: norm.substr(i, F.lit(5)))
+    ex = d.select("doc_id", F.explode(shingles).alias("s")).withColumn(
+        "h", F.md5(F.col("s"))
+    )
+    hexv = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring("h", i, 1)) - 1
+    vals = ex.select(
+        "doc_id", *[hexv(i + 1).alias(f"v{i}") for i in range(4)]
+    )
+    ones = [
+        F.sum(((F.col(f"v{i}") / (2 ** b)).cast("int") % 2)).alias(f"o_{i}_{b}")
+        for i in range(4)
+        for b in range(4)
+    ]
+    agg = vals.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    bit_terms = [
+        F.when(2 * F.col(f"o_{i}_{b}") > F.col("n"), F.lit(1 << (i * 4 + b))).otherwise(0)
+        for i in range(4)
+        for b in range(4)
+    ]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return agg.select("doc_id", simhash.cast("long").alias("simhash16"))
+
+
+def _simhash_portable_sql() -> str:
+    ones = ", ".join(
+        f"sum((v{i} // {2 ** b}) % 2) AS o_{i}_{b}"
+        for i in range(4)
+        for b in range(4)
+    )
+    terms = " + ".join(
+        f"CASE WHEN 2 * o_{i}_{b} > n THEN {1 << (i * 4 + b)} ELSE 0 END"
+        for i in range(4)
+        for b in range(4)
+    )
+    vs = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS v{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, md5(unnest(list_transform(pos, i -> substr(t, CAST(i AS INT), 5)))) AS h
+  FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
+        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents WHERE text IS NOT NULL))
+), vals AS (SELECT doc_id, {vs} FROM sh),
+agg AS (SELECT doc_id, count(*) AS n, {ones} FROM vals GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash16 FROM agg
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1610,6 +1670,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _stratified_sample_docs,
         "hash_sample_rate": _hash_sample_rate,
         "session_window_batch": _session_window_batch,
+        "simhash_portable": _simhash_portable,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1682,5 +1743,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _STRATIFIED_SQL,
         "hash_sample_rate": _HASH_SAMPLE_SQL,
         "session_window_batch": _SESSION_WINDOW_SQL,
+        "simhash_portable": _simhash_portable_sql(),
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
