@@ -106,3 +106,76 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         *out, *[F.col(f"_r_{c}").alias(c) for c in right_cols]
     )
+
+
+_BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    max_right_rows: int = _BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Zero-shuffle as-of join for a dimension-scale right side — the
+    broadcast-hash-join tier of the operator (``asof_join`` is the
+    sort-merge tier).
+
+    The whole right table ships to every task inside the closure (same
+    size class as a broadcast join build side; guarded by
+    ``max_right_rows``); each Arrow batch runs one vectorized
+    ``pandas.merge_asof`` against it. The left side keeps its partitioning —
+    no exchange anywhere, so a corpus-scale left stream annotates itself
+    with point-in-time features at pure map speed.
+
+    Semantics identical to ``asof_join`` (backward, inclusive; duplicate
+    right (key, ts) collapse to the max value struct) — equality is
+    test-asserted against the sort-merge tier.
+    """
+    import pandas as pd
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {sorted(overlap)}")
+    n = right.count()
+    if n > max_right_rows:
+        raise ValueError(
+            f"broadcast as-of right side has {n} rows > {max_right_rows}; "
+            f"use asof_join (sort-merge tier) for corpus-scale right sides"
+        )
+    r = (
+        right.groupBy(F.col(on), F.col(right_ts))
+        .agg(F.max(F.struct(*right_cols)).alias("_r"))
+        .select(on, right_ts, *[F.col(f"_r.{c}").alias(c) for c in right_cols])
+    )
+    rpdf = r.toPandas().sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+    from pyspark.sql import types as T
+
+    left_cols = left.columns
+    r_schema = {f.name: f.dataType for f in r.schema.fields}
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(c, r_schema[c], True) for c in right_cols]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ordered = pdf.sort_values(left_ts, kind="mergesort")
+            merged = pd.merge_asof(
+                ordered,
+                rpdf,
+                left_on=left_ts,
+                right_on=right_ts,
+                left_by=on,
+                right_by=on,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            yield merged[left_cols + right_cols]
+
+    return left.mapInPandas(run, schema=out_schema)

@@ -342,3 +342,30 @@ def test_sketch_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx_users"] - row["exact_users"]) <= max(3, 0.05 * row["exact_users"])
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.05 * abs(row["p50_exact"]) + 1e-6
+
+
+def test_asof_join_broadcast_equals_sort_merge(spark):
+    """The zero-shuffle broadcast tier must produce exactly the sort-merge
+    tier's result on real tables, and its plan must contain no exchange."""
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.asof import asof_join, asof_join_broadcast
+
+    sf = "/root/testdata/sf0.01"
+    events = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    kw = dict(on="user_id", left_ts="ts", right_ts="o_orderdate", right_cols=["o_orderkey"])
+    smj = {(r["event_id"], r["o_orderkey"]) for r in asof_join(events, orders, **kw).collect()}
+    bc = asof_join_broadcast(events, orders, **kw)
+    got = {(r["event_id"], r["o_orderkey"]) for r in bc.collect()}
+    assert got == smj and len(got) == 10000
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="use asof_join"):
+        asof_join_broadcast(events, orders, max_right_rows=10, **kw)
