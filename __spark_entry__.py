@@ -1554,6 +1554,33 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash16 FROM agg
 """
 
 
+def _grouping_sets_id(spark, sf):
+    """Explicit GROUPING SETS with a grouping() indicator per dimension."""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1671,6 +1698,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_rate": _hash_sample_rate,
         "session_window_batch": _session_window_batch,
         "simhash_portable": _simhash_portable,
+        "grouping_sets_id": _grouping_sets_id,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1744,5 +1772,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_rate": _HASH_SAMPLE_SQL,
         "session_window_batch": _SESSION_WINDOW_SQL,
         "simhash_portable": _simhash_portable_sql(),
+        "grouping_sets_id": _GROUPING_SETS_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
