@@ -38,7 +38,7 @@ def main() -> None:
     def timed(name: str, fn) -> None:
         fn()  # warm-up: codegen compile, parquet footers, python workers
         best = float("inf")
-        for _ in range(2):  # best-of-2 steady state (local-mode GC noise)
+        for _ in range(3):  # best-of-3 steady state (local-mode GC noise)
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
