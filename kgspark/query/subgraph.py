@@ -47,11 +47,17 @@ def retrieve_subgraph(
     )
     visited = seeds.localCheckpoint()
     frontier = visited
+    # broadcast the frontier only while it is dictionary-sized: a dense graph
+    # can blow a frontier past broadcast limits within 2 hops, at which point
+    # the hint must fall away and let AQE pick shuffle vs broadcast
+    broadcast_limit = 1_000_000
+    frontier_n = 1
     for h in range(1, hops + 1):
+        fr = frontier.select(F.col("entity_id").alias("a"))
+        if frontier_n <= broadcast_limit:
+            fr = F.broadcast(fr)
         nxt = (
-            und.join(
-                F.broadcast(frontier.select(F.col("entity_id").alias("a"))), "a"
-            )
+            und.join(fr, "a")
             .select(F.col("b").alias("entity_id"))
             .distinct()
             .join(visited.select("entity_id"), "entity_id", "left_anti")
@@ -59,7 +65,8 @@ def retrieve_subgraph(
         )
         frontier = nxt.localCheckpoint()
         visited = visited.union(frontier).localCheckpoint()
-        if frontier.isEmpty():
+        frontier_n = frontier.count()
+        if frontier_n == 0:
             break
 
     reached = visited.join(nodes, "entity_id").select("entity_id", "label", "name", "hop")

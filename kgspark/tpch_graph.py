@@ -32,21 +32,25 @@ def build_tpch_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     customer = load(spark, sf_dir, "customer")
     supplier = load(spark, sf_dir, "supplier")
 
+    # seq = source key, NOT monotonically_increasing_id: the latter depends on
+    # partitioning, which would make last-write-wins tie-breaks (dup names)
+    # change across cluster sizes — a determinism/resume violation. Names are
+    # unique in these tables, but the invariant must not rely on that.
     cust = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
         F.col("c_name").alias("name"),
         F.col("n_name").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
-        F.monotonically_increasing_id().alias("seq"),
+        F.col("c_custkey").alias("seq"),
     )
     supp = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey).select(
         F.col("s_name").alias("name"),
         F.col("n_name").alias("nation"),
-        F.monotonically_increasing_id().alias("seq"),
+        F.col("s_suppkey").cast("long").alias("seq"),
     )
     nat = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
         F.col("n_name").alias("name"),
         F.col("r_name").alias("region"),
-        F.monotonically_increasing_id().alias("seq"),
+        F.col("n_nationkey").cast("long").alias("seq"),
     )
 
     triples = (
