@@ -107,7 +107,11 @@ def insurance_search(
 ) -> DataFrame:
     """P8 + W1/W2 (graph_retriever.py:112-156): series keyword in the query
     -> precise CONTAINS search LIMIT 6; otherwise generic-keyword filter with
-    seeded random order LIMIT 20 (ORDER BY rand() made reproducible)."""
+    pseudo-random order LIMIT 20 — the reference's ORDER BY rand() for
+    recommendation diversity, implemented as ORDER BY xxhash64(name, seed):
+    equally shuffled to a user, but deterministic across reruns AND
+    partitionings (F.rand(seed) seeds per partition, so a repartition would
+    change the sample — a resume violation)."""
     ins = nodes.filter(F.col("label") == "Insurance").select(
         F.col("name"),
         F.col("props")["age_limit"].alias("age_limit"),
@@ -121,7 +125,7 @@ def insurance_search(
     cond = F.col("name").contains(GENERIC_KEYWORDS[0])
     for kw in GENERIC_KEYWORDS[1:]:
         cond = cond | F.col("name").contains(kw)
-    return ins.filter(cond).orderBy(F.rand(seed)).limit(limit or 20)
+    return ins.filter(cond).orderBy(F.xxhash64("name", F.lit(seed)), "name").limit(limit or 20)
 
 
 def nursing_home_search(
