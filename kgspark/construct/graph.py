@@ -154,12 +154,47 @@ def save_graph(
     declarative replacement for the reference's ``MATCH (n) DETACH DELETE n``
     re-init (S9, neo4j_loader.py:26-31).
     """
-    nodes.withColumn("bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{out_dir}/nodes")
-    edges.withColumn("bucket", F.pmod(F.col("src_id"), F.lit(n_buckets))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{out_dir}/edges")
+    # sortWithinPartitions: parquet row-group min/max stats on the id column
+    # become selective, so point lookups skip row groups, not just partitions
+    (
+        nodes.withColumn("bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets)))
+        .sortWithinPartitions("entity_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/nodes")
+    )
+    (
+        edges.withColumn("bucket", F.pmod(F.col("src_id"), F.lit(n_buckets)))
+        .sortWithinPartitions("src_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/edges")
+    )
+
+
+def lookup_entity(
+    spark, out_dir: str, label: str, name: str, n_buckets: int = 32
+) -> DataFrame:
+    """Point lookup against the saved layout, O(1/buckets) of the table:
+    the entity id (and thus its bucket) is COMPUTED driver-side — identity is
+    a hash, never a dictionary join — so the scan carries a partition filter
+    (only one bucket directory listed/read) plus an id predicate that prunes
+    parquet row groups via the sorted-write min/max stats."""
+    import ctypes
+
+    row = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(label), F.lit(name)).alias("id"))
+        .first()
+    )
+    eid = int(row["id"])
+    bucket = int(ctypes.c_int64(eid).value % n_buckets)
+    if bucket < 0:  # pmod semantics
+        bucket += n_buckets
+    return (
+        spark.read.parquet(f"{out_dir}/nodes")
+        .filter((F.col("bucket") == bucket) & (F.col("entity_id") == eid))
+    )
 
 
 def merge_into_graph(

@@ -194,3 +194,22 @@ def test_validate_graph_clean_and_detects_breakage(spark, mini_sources):
         "9999999 AS src_id", "rel", "dst_id"
     ).unionByName(edges)
     assert validate_graph(nodes, broken)["dangling_edges"] == 1
+
+
+def test_lookup_entity_prunes_partitions(spark, tmp_path, mini_sources):
+    """Point lookup must carry a PartitionFilters entry (one bucket dir read)
+    and a pushed entity_id predicate — no full-table scan for a MERGE-style
+    key probe."""
+    from kgspark.construct.graph import lookup_entity, save_graph
+    from kgspark.construct.reference_build import build_structured_graph
+
+    nodes, edges, _ = build_structured_graph(spark, mini_sources)
+    out = str(tmp_path / "g")
+    save_graph(nodes, edges, out, n_buckets=8)
+    any_name = nodes.filter("label = 'Disease'").select("name").first()["name"]
+    probe = lookup_entity(spark, out, "Disease", any_name, n_buckets=8)
+    rows = probe.collect()
+    assert len(rows) == 1 and rows[0]["name"] == any_name
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan[:2000]
+    assert "PushedFilters: [IsNotNull(entity_id), EqualTo(entity_id" in plan, plan[:2000]
