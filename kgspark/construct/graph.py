@@ -323,6 +323,41 @@ def compact_graph(spark, out_dir: str) -> dict:
     return stats
 
 
+def export_for_neo4j(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """Bridge back to the reference's store: write the CSV shape
+    ``neo4j-admin database import`` consumes (nodes: ``id:ID``, ``:LABEL``,
+    ``name``, ``props`` as JSON; relationships: ``:START_ID``, ``:END_ID``,
+    ``:TYPE``), so a migrated user can still materialize the graph into
+    Neo4j for Cypher/Browser access — one bulk import instead of the
+    reference's per-batch UNWIND/MERGE sessions.
+
+    Distributed CSV write (one part per task); headers ride in every part
+    (``header=True``) — concatenate or pass the glob to neo4j-admin.
+    """
+    (
+        nodes.select(
+            F.col("entity_id").cast("string").alias("id:ID"),
+            F.col("label").alias(":LABEL"),
+            F.col("name"),
+            F.to_json(F.col("props")).alias("props"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(f"{out_dir}/neo4j_nodes")
+    )
+    (
+        edges.select(
+            F.col("src_id").cast("string").alias(":START_ID"),
+            F.col("dst_id").cast("string").alias(":END_ID"),
+            F.col("rel").alias(":TYPE"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(f"{out_dir}/neo4j_rels")
+    )
+
+
 def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
     """Executable integrity contract for a built graph (makes the module
     docstring's "collisions are detectable" claim a runnable check):

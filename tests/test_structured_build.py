@@ -133,3 +133,37 @@ def test_golden_reference_label_counts(spark):
         "HAS_SYMPTOM": 2868, "HAS_COMPLICATION": 1017, "TREATED_BY": 642,
         "BELONGS_TO_DEPT": 398, "COVERS_DISEASE": 34, "TARGETS_POPULATION": 11,
     }
+
+
+def test_export_for_neo4j_shape(spark, tmp_path, mini_sources):
+    """The Neo4j bulk-import export must carry the :ID/:LABEL/:START_ID/
+    :END_ID/:TYPE headers, round-trip the full graph row counts, and keep
+    props as parseable JSON."""
+    import csv
+    import glob
+    import json
+
+    from kgspark.construct.graph import export_for_neo4j
+    from kgspark.construct.reference_build import build_structured_graph
+
+    nodes, edges, _ = build_structured_graph(spark, mini_sources)
+    out = str(tmp_path / "neo")
+    export_for_neo4j(nodes, edges, out)
+
+    node_rows, rel_rows = [], []
+    for f in glob.glob(f"{out}/neo4j_nodes/part-*.csv"):
+        with open(f, newline="", encoding="utf-8") as fh:
+            r = csv.DictReader(fh)
+            assert r.fieldnames == ["id:ID", ":LABEL", "name", "props"]
+            node_rows += list(r)
+    for f in glob.glob(f"{out}/neo4j_rels/part-*.csv"):
+        with open(f, newline="", encoding="utf-8") as fh:
+            r = csv.DictReader(fh)
+            assert r.fieldnames == [":START_ID", ":END_ID", ":TYPE"]
+            rel_rows += list(r)
+    assert len(node_rows) == nodes.count()
+    assert len(rel_rows) == edges.count()
+    withprops = next(x for x in node_rows if x["props"] not in ("", "{}"))
+    assert isinstance(json.loads(withprops["props"]), dict)
+    ids = {x["id:ID"] for x in node_rows}
+    assert all(x[":START_ID"] in ids and x[":END_ID"] in ids for x in rel_rows)
