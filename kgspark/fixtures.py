@@ -120,9 +120,13 @@ def expected_triples_for_doc(i: int) -> list[tuple[str, str, str, str, str]]:
 
 def _doc_html(i: int, sents: list[str]) -> bytes:
     body = "".join(f"<p>{s}</p>" for s in sents)
+    # every 13th doc carries an HTML comment: comments don't change the
+    # extracted text but are a divergence-risk construct, so the corpus
+    # exercises the fast scanner's reference-parser fallback path too
+    comment = "<!-- 页脚模板 -->" if i % 13 == 0 else ""
     return (
         f"<html><head><title>页面{i}</title><script>var x={i};</script></head>"
-        f"<body><nav>首页 导航 登录</nav>{body}<footer>© example site</footer></body></html>"
+        f"<body><nav>首页 导航 登录</nav>{body}{comment}<footer>© example site</footer></body></html>"
     ).encode("utf-8")
 
 
@@ -202,6 +206,7 @@ def web_pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> 
                 F.when(sent_e.isNotNull(), F.concat(F.lit("<p>"), sent_e, F.lit("</p>"))),
                 F.when(sent_f.isNotNull(), F.concat(F.lit("<p>"), sent_f, F.lit("</p>"))),
             ),
+            F.when(i % 13 == 0, F.lit("<!-- 页脚模板 -->")).otherwise(F.lit("")),
             F.lit("<footer>© example site</footer></body></html>"),
         ),
         "UTF-8",
