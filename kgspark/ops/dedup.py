@@ -106,6 +106,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 16,
     max_bucket_size: int = 1000, n_perm: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signatures and pair up ids within each (band, bucket).
 
@@ -113,6 +114,14 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket_size`` are dropped (boilerplate guard):
     a bucket of size m yields m²/2 pairs — one degenerate bucket can dwarf
     the whole job.
+
+    ``distinct=False`` skips the final dedup shuffle and may emit the same
+    (a, b) up to ``n_bands`` times (once per band the pair collides in).
+    Callers that filter the pairs further (e.g. jaccard verification) should
+    prefer deferring the distinct until after their filter: the candidate set
+    is the largest intermediate in the dedup pipeline, and shuffling it just
+    to drop a few percent of band-duplicates costs more than re-verifying
+    them — the post-filter distinct then shuffles only survivors.
 
     Physical plan: ONE shuffle — groupBy(band, bucket) collects the id list
     (bounded by ``max_bucket_size``, so per-group state is capped), then the
@@ -155,11 +164,10 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+    out = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+    return out.distinct() if distinct else out
 
 
 def lsh_bucket_stats(
@@ -242,7 +250,11 @@ def minhash_dedup(
     if repartition:
         df = df.repartition(repartition)
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_perm=n_perm)
+    # distinct=False: band-duplicate pairs get re-verified below instead of
+    # paying a full shuffle of the candidate set (its own measurement in
+    # lsh_candidate_pairs' docstring); the distinct after the threshold
+    # filter touches only survivors, typically orders of magnitude fewer.
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_perm=n_perm, distinct=False)
     # signature-estimated jaccard: fraction of agreeing minhash positions
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
@@ -259,6 +271,7 @@ def minhash_dedup(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b")
+        .distinct()
     )
     from kgspark.extract.components import connected_components
 
