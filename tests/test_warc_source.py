@@ -1,0 +1,91 @@
+"""WARC source: Common-Crawl-layout archives -> canonical web_pages rows.
+
+Round-trip contract: write_synthetic_warc(read_warc(...)) preserves url,
+timestamp, and html bytes exactly, for both per-record-gzip-member files
+(the Common Crawl layout) and plain uncompressed WARC; non-page records
+(request/metadata) are skipped; the parsed corpus drives the full pipeline
+(HTML->text + OpenIE) identically to the synthetic fixture corpus.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from kgspark import fixtures
+from kgspark.sources.warc import read_warc, write_synthetic_warc
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _docs(n):
+    pdf = fixtures.web_pages_pdf(n, both_cols=True)  # every doc carries html
+    return [
+        (r.url, _EPOCH + timedelta(seconds=37 * i), bytes(r.html))
+        for i, r in enumerate(pdf.itertuples())
+    ]
+
+
+@pytest.mark.parametrize("gzip_members", [True, False])
+def test_warc_roundtrip(spark, tmp_path, gzip_members):
+    docs = _docs(40)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+    # two files: the scan must parallelize per file and union the records
+    write_synthetic_warc(str(tmp_path / f"a{suffix}"), docs[:25], gzip_members)
+    write_synthetic_warc(str(tmp_path / f"b{suffix}"), docs[25:], gzip_members)
+
+    got = read_warc(spark, str(tmp_path)).collect()
+    assert len(got) == 40
+    by_url = {r["url"]: r for r in got}
+    for url, ts, html in docs:
+        row = by_url[url]
+        assert bytes(row["html"]) == html  # byte-identical payloads
+        assert row["warc_ts"] == ts.replace(tzinfo=None)  # session tz = UTC
+        assert row["text"] is None and row["lang"] is None
+
+
+def test_warc_skips_non_page_records(spark, tmp_path):
+    import gzip as _gzip
+    import io
+
+    docs = _docs(3)
+    write_synthetic_warc(str(tmp_path / "pages.warc"), docs, gzip_members=False)
+    # splice in a request record (must be skipped) ahead of the pages
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://example.com/skip\r\n"
+        b"Content-Length: 4\r\n\r\nGET \r\n\r\n"
+    )
+    body = (tmp_path / "pages.warc").read_bytes()
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(req + body)
+    (tmp_path / "pages.warc").unlink()
+    (tmp_path / "mixed.warc.gz").write_bytes(buf.getvalue())
+
+    got = read_warc(spark, str(tmp_path)).collect()
+    assert sorted(r["url"] for r in got) == sorted(u for u, _, _ in docs)
+
+
+def test_pipeline_runs_off_warc(spark, tmp_path):
+    """The WARC scan's schema is the pipeline's input contract: the same
+    extraction stages produce the same triples as the in-memory fixture
+    corpus for the same documents."""
+    from kgspark.extract.openie import extract_doc_triples
+
+    n = 30
+    write_synthetic_warc(str(tmp_path / "c.warc.gz"), _docs(n))
+    pages = read_warc(spark, str(tmp_path))
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in extract_doc_triples(pages, fused_html=True)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    want = {
+        (s, p, o)
+        for i in range(n)
+        for (s, _st, p, o, _ot) in fixtures.expected_triples_for_doc(i)
+    }
+    assert got == want
