@@ -1634,6 +1634,46 @@ FROM a
 """
 
 
+def _kmv_distinct(spark, sf):
+    """KMV (k-minimum-values) distinct-count sketch, engine-portable: md5
+    hex-domain minima + a 52-bit estimator whose float ops are bit-identical
+    in both engines (ops/sketch.py). 150 distinct users per event_type at
+    sf0.01 > k=64, so this exercises the estimator path, not the exact one."""
+    from kgspark.ops.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "events"), "user_id", ["event_type"], k=64)
+
+
+def _kmv_sql() -> str:
+    digits = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{digits}', substr(hk, {j + 1}, 1)) - 1) * {float(16 ** (12 - j))!r}"
+        for j in range(13)
+    )
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dist
+), kept AS (
+  SELECT event_type, count(*) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS hk
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n_kept < 64 THEN n_kept
+            ELSE CAST(FLOOR(63.0 / (({terms}) / 4503599627370496.0)) AS BIGINT)
+       END AS est_distinct
+FROM kept
+"""
+
+
+_KMV_DISTINCT_SQL = _kmv_sql()
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1753,6 +1793,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": _simhash_portable,
         "grouping_sets_id": _grouping_sets_id,
         "stats_moments": _stats_moments,
+        "kmv_distinct": _kmv_distinct,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1828,5 +1869,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_portable": _simhash_portable_sql(),
         "grouping_sets_id": _GROUPING_SETS_SQL,
         "stats_moments": _STATS_MOMENTS_SQL,
+        "kmv_distinct": _KMV_DISTINCT_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
