@@ -1674,6 +1674,70 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _pagerank_tpch(spark, sf):
+    """Deterministic integer-mode PageRank (ops/graph_algs.py) over a TPC-H
+    entity graph: customer->nation, customer->mktsegment, supplier->nation,
+    nation->region. Fixed 3 iterations, rank in 10^-12 fixed-point units —
+    every operation is integer add/mul/floor-div, so the unrolled SQL oracle
+    reproduces ranks bit-for-bit (float PageRank could never hash-match:
+    distributed float sums are partition-order dependent)."""
+    from kgspark.ops.graph_algs import pagerank
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    s, r = _t(spark, sf, "supplier"), _t(spark, sf, "region")
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(c.select(F.col("c_name").alias("src"), F.col("c_mktsegment").alias("dst")))
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey)
+            .select(F.col("s_name").alias("src"), F.col("n_name").alias("dst"))
+        )
+        .unionByName(
+            n.join(r, n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+    )
+    return pagerank(edges, max_iter=3, scale=10**12).withColumnRenamed("name", "node")
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_pct: int = 85) -> str:
+    parts = [
+        f"""
+WITH edges AS (
+  SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT c_name, c_mktsegment FROM customer
+  UNION ALL SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS (SELECT src AS name FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT name, CAST((SELECT {scale} // n FROM params) AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS name, SUM(r.r // d.deg) AS s
+        FROM edges e JOIN r{p} r ON e.src = r.name JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+dg{i} AS (SELECT COALESCE(SUM(r.r), 0) AS m
+         FROM r{p} r LEFT JOIN deg d ON r.name = d.src WHERE d.src IS NULL),
+r{i} AS (SELECT nd.name,
+        CAST((SELECT ({100 - d_pct} * {scale}) // (100 * n) FROM params)
+        + ({d_pct} * (COALESCE(c.s, 0)
+                      + (SELECT m FROM dg{i}) // (SELECT n FROM params))) // 100
+        AS BIGINT) AS r
+       FROM nodes nd LEFT JOIN c{i} c ON nd.name = c.name)"""
+        )
+    parts.append(f"\nSELECT name AS node, r AS rank_units FROM r{iters}")
+    return "".join(parts)
+
+
+_PAGERANK_TPCH_SQL = _pagerank_sql()
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only check (minhash signatures are not SQL-expressible)."""
     from kgspark.ops.dedup import minhash_dedup
@@ -1794,6 +1858,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_id": _grouping_sets_id,
         "stats_moments": _stats_moments,
         "kmv_distinct": _kmv_distinct,
+        "pagerank_tpch": _pagerank_tpch,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1870,5 +1935,6 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_id": _GROUPING_SETS_SQL,
         "stats_moments": _STATS_MOMENTS_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        "pagerank_tpch": _PAGERANK_TPCH_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

@@ -1,0 +1,131 @@
+"""Graph analytics over the constructed KG: join-based PageRank.
+
+Entity importance ranks canonical-name candidates (X7 picks the shortest
+surface form today; rank is the principled upgrade), orders subgraph
+retrieval (graph_retrieval.py's LIMIT-bounded paths — reference caps at 50
+arbitrary paths, rank makes the cap keep the *important* ones), and feeds
+curation (keep documents mentioning high-rank entities).
+
+No GraphFrames dependency — same design stance as extract/components.py:
+each iteration is two shuffles (contribution join on src, sum by dst), the
+edge list and degree table are computed once and localCheckpoint'd, rank
+lineage is cut per iteration.
+
+Two arithmetic modes:
+
+- float (default, production): IEEE doubles, convergence-checked on the L1
+  delta. Fast, but distributed float sums are partition-order dependent in
+  the final ulps — fine for ranking, not for bit-reproducibility.
+- integer (``scale`` set): rank is a bigint in fixed-point units of
+  1/scale, every operation is integer add / multiply / floor-div — the
+  result is BIT-IDENTICAL under any partitioning, cluster size, or engine
+  (the DuckDB oracle `pagerank_tpch` replays it exactly with unrolled SQL).
+  Truncation loses < n_edges + n ulp-units of mass per iteration, i.e.
+  relative error ~ n/scale — negligible at scale=10^12. This is the same
+  determinism-under-parallelism contract the rest of the engine makes
+  (SURVEY §7 risk register), extended to an iterative algorithm.
+
+Dangling nodes (no out-edges) redistribute their mass uniformly, the
+standard correction keeping total mass ~ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = 1e-6,
+    scale: int | None = None,
+) -> DataFrame:
+    """(src, dst) edge list -> (name, rank). With ``scale`` set, returns
+    (name, rank_units) as bigint fixed-point (deterministic integer mode,
+    ``damping`` must then be a percentage-expressible value like 0.85) and
+    runs exactly ``max_iter`` iterations (no convergence action, so the
+    plan is identical everywhere)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("name"))
+        .union(e.select(F.col("dst").alias("name")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+
+    if scale is not None:
+        return _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("name", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("name"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("name")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "name"), "name", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        new_ranks = (
+            nodes.join(contribs, "name", "left")
+            .select(
+                "name",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "new")
+                .join(ranks, "name")
+                .agg(F.sum(F.abs(F.col("new") - F.col("rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
+    d_pct = int(round(damping * 100))
+    base = f"(({100 - d_pct}::bigint * {scale}) div (100 * {n}))"
+    ranks = nodes.selectExpr("name", f"({scale} div {n})::bigint AS r")
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("name", "src"), "src")
+            .join(outdeg, "src")
+            .selectExpr("dst AS name", "(r div deg) AS c")
+            .groupBy("name")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "name"), "name", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)))
+            .first()[0]
+        )
+        ranks = (
+            nodes.join(contribs, "name", "left")
+            .selectExpr(
+                "name",
+                f"({base} + ({d_pct} * (coalesce(s, 0) + ({int(dangling)} div {n}))) div 100"
+                ")::bigint AS r",
+            )
+            .localCheckpoint()
+        )
+    return ranks.withColumnRenamed("r", "rank_units")
