@@ -1674,6 +1674,48 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _window_frames(spark, sf):
+    """Window-frame breadth: ntile, percent_rank, cume_dist, a RANGE frame
+    (peer rows included — deterministic under ties, unlike a ROWS frame on a
+    non-unique ordering), and first/last over the full-partition frame."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrange = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.sum(_dec("o_totalprice")).over(wrange).cast("double"), 2).alias("range_total"),
+        F.first("o_orderkey").over(wfull).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS range_total,
+       first_value(o_orderkey) OVER wf AS first_key,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WHERE o_custkey <= 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def _pagerank_tpch(spark, sf):
     """Deterministic integer-mode PageRank (ops/graph_algs.py) over a TPC-H
     entity graph: customer->nation, customer->mktsegment, supplier->nation,
@@ -1859,6 +1901,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": _stats_moments,
         "kmv_distinct": _kmv_distinct,
         "pagerank_tpch": _pagerank_tpch,
+        "window_frames": _window_frames,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1936,5 +1979,6 @@ def oracle_sql() -> dict[str, str]:
         "stats_moments": _STATS_MOMENTS_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "pagerank_tpch": _PAGERANK_TPCH_SQL,
+        "window_frames": _WINDOW_FRAMES_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
