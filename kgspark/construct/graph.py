@@ -358,6 +358,82 @@ def export_for_neo4j(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     )
 
 
+def _nt_literal(col):
+    """Escape a string column as an N-Triples literal: backslash first, then
+    quote / newline / CR / tab (RDF 1.1 N-Triples ECHAR grammar)."""
+    esc = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def _nt_iri(prefix: str, col):
+    """urn:kg: IRI with the variable segment percent-encoded (url_encode is
+    JVM-side; spaces and reserved chars would break the NT grammar)."""
+    return F.concat(F.lit(f"<urn:kg:{prefix}/"), F.url_encode(col), F.lit(">"))
+
+
+def export_ntriples(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """RDF N-Triples export — the standard KG interchange the reference
+    lacks entirely (its only egress is Cypher into Neo4j). Line-based, so
+    the write is fully distributed text (one part per task, no driver
+    collection) and the files load into any triple store or SPARQL engine.
+
+    Statements per node: rdf:type to the label IRI, kg:name literal, one
+    triple per props entry (map exploded). Per edge: subject/rel/object
+    entity IRIs. Entity IRIs use the stable entity_id (identity is
+    xxhash64(label, name) — SURVEY §1.3), so node and edge files agree
+    without any join at export time.
+    """
+    ent = _nt_iri("entity", F.col("entity_id").cast("string"))
+    type_lines = nodes.select(
+        F.concat(
+            ent,
+            F.lit(" <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "),
+            _nt_iri("label", F.col("label")),
+            F.lit(" ."),
+        ).alias("value")
+    )
+    name_lines = nodes.select(
+        F.concat(
+            ent, F.lit(" <urn:kg:name> "), _nt_literal(F.col("name")), F.lit(" .")
+        ).alias("value")
+    )
+    prop_lines = (
+        nodes.select(F.col("entity_id"), F.explode("props").alias("k", "v"))
+        .where(F.col("v").isNotNull())
+        .select(
+            F.concat(
+                _nt_iri("entity", F.col("entity_id").cast("string")),
+                F.lit(" "),
+                _nt_iri("prop", F.col("k")),
+                F.lit(" "),
+                _nt_literal(F.col("v")),
+                F.lit(" ."),
+            ).alias("value")
+        )
+    )
+    edge_lines = edges.select(
+        F.concat(
+            _nt_iri("entity", F.col("src_id").cast("string")),
+            F.lit(" "),
+            _nt_iri("rel", F.col("rel")),
+            F.lit(" "),
+            _nt_iri("entity", F.col("dst_id").cast("string")),
+            F.lit(" ."),
+        ).alias("value")
+    )
+    (
+        type_lines.unionByName(name_lines)
+        .unionByName(prop_lines)
+        .write.mode("overwrite")
+        .text(f"{out_dir}/nodes_nt")
+    )
+    edge_lines.write.mode("overwrite").text(f"{out_dir}/edges_nt")
+
+
 def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
     """Executable integrity contract for a built graph (makes the module
     docstring's "collisions are detectable" claim a runnable check):

@@ -167,3 +167,56 @@ def test_export_for_neo4j_shape(spark, tmp_path, mini_sources):
     assert isinstance(json.loads(withprops["props"]), dict)
     ids = {x["id:ID"] for x in node_rows}
     assert all(x[":START_ID"] in ids and x[":END_ID"] in ids for x in rel_rows)
+
+
+def test_export_ntriples_roundtrip(spark, tmp_path, mini_sources):
+    """N-Triples export: statement counts match the graph (1 type + 1 name
+    per node + 1 per non-null prop; 1 per edge), entity IRIs agree between
+    node and edge files, and ECHAR escaping round-trips hostile strings."""
+    import glob
+    import re
+
+    from kgspark.construct.graph import export_ntriples
+    from kgspark.construct.reference_build import build_structured_graph
+    from pyspark.sql import functions as F
+
+    nodes, edges, _ = build_structured_graph(spark, mini_sources)
+    # splice in a node with every ECHAR escape case in the name
+    hostile = 'a"b\\c\nd\te中'
+    nodes = nodes.unionByName(
+        spark.createDataFrame(
+            [(123456789, "Disease", hostile, {"k y": 'v"1\n2'})],
+            "entity_id long, label string, name string, props map<string,string>",
+        )
+    )
+    out = str(tmp_path / "nt")
+    export_ntriples(nodes, edges, out)
+
+    def lines(sub):
+        got = []
+        for f in glob.glob(f"{out}/{sub}/part-*"):
+            with open(f, encoding="utf-8") as fh:
+                got += [ln for ln in fh.read().splitlines() if ln]
+        return got
+
+    node_lines, edge_lines = lines("nodes_nt"), lines("edges_nt")
+    n_props = nodes.select(F.explode("props").alias("k", "v")).where(
+        F.col("v").isNotNull()
+    ).count()
+    assert len(node_lines) == 2 * nodes.count() + n_props
+    assert len(edge_lines) == edges.count()
+    nt = re.compile(r"^(<[^>]+>) (<[^>]+>) (<[^>]+>|\"(?:[^\"\\]|\\.)*\") \.$")
+    assert all(nt.match(ln) for ln in node_lines + edge_lines)
+    # edge subjects/objects must reference exported entity IRIs
+    ents = {m.group(1) for ln in node_lines if (m := nt.match(ln))}
+    for ln in edge_lines:
+        m = nt.match(ln)
+        assert m.group(1) in ents and m.group(3) in ents
+    # escaping round-trip for the hostile name
+    esc = next(
+        ln for ln in node_lines if "<urn:kg:entity/123456789>" in ln and "name" in ln
+    )
+    lit = nt.match(esc).group(3)[1:-1]
+    ech = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+    unescaped = re.sub(r"\\(.)", lambda m: ech[m.group(1)], lit)
+    assert unescaped == hostile
