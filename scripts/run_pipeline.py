@@ -4,10 +4,12 @@
     spark-submit --py-files kgspark.zip scripts/run_pipeline.py \
         --input /path/to/web_pages_parquet --out /path/to/kg \
         [--buckets 64] [--run-id r1] [--run-seq 0] [--no-resume]
+        [--warc]           # treat --input as a dir of WARC archives instead
         [--synthesize N]   # generate a deterministic corpus instead of reading
 
-Reads an (url, warc_ts, html, text, lang) parquet corpus, runs the resumable
-extraction stage + graph stage, prints a one-line JSON summary.
+Reads an (url, warc_ts, html, text, lang) parquet corpus — or raw
+Common-Crawl WARC archives with --warc — runs the resumable extraction
+stage + graph stage, prints a one-line JSON summary.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet dir with web_pages schema")
     ap.add_argument("--synthesize", type=int, help="generate an N-doc corpus instead")
+    ap.add_argument("--warc", action="store_true", help="--input is a dir of WARC archives")
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--run-id", default="run-0")
@@ -41,6 +44,10 @@ def main() -> None:
     spark = get_spark("kgspark-pipeline", cpus=args.cpus)
     if args.synthesize:
         pages = fixtures.web_pages_df(spark, args.synthesize)
+    elif args.warc:
+        from kgspark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
     else:
         pages = spark.read.schema(schemas.WEB_PAGES).parquet(args.input)
 
