@@ -472,6 +472,95 @@ def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
     }
 
 
+def publish_graph(
+    nodes: DataFrame, edges: DataFrame, out_dir: str, n_buckets: int = 32
+) -> int:
+    """Snapshot-versioned publish: write a full graph under ``v{n}/``, then
+    atomically swap the ``_CURRENT`` pointer file to it.
+
+    This is the commit protocol Iceberg's metadata layer provides and plain
+    parquet lacks: readers resolve the pointer first, so they NEVER observe
+    a half-written graph — a publish that dies mid-write leaves an orphan
+    version directory and an untouched pointer (cleaned by
+    ``vacuum_graph``). Old versions stay readable (time travel /
+    rollback = ``load_graph(..., version=n)``). On a POSIX filesystem the
+    swap is ``os.replace``; on HDFS it maps to an atomic rename, on S3 to
+    the catalog's pointer commit.
+
+    Returns the published version number.
+    """
+    import os
+
+    versions = graph_versions(out_dir)
+    v = (max(versions) + 1) if versions else 1
+    save_graph(nodes, edges, f"{out_dir}/v{v}", n_buckets=n_buckets)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/_CURRENT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(v))
+    os.replace(tmp, f"{out_dir}/_CURRENT")  # the atomic commit point
+    return v
+
+
+def graph_versions(out_dir: str) -> list[int]:
+    """All version numbers with a directory present (committed or orphan)."""
+    import os
+    import re
+
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(out_dir)
+        if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(f"{out_dir}/{d}")
+    )
+
+
+def current_graph_version(out_dir: str) -> int | None:
+    import os
+
+    ptr = f"{out_dir}/_CURRENT"
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
+def load_graph(
+    spark, out_dir: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) at the committed snapshot (or a pinned ``version`` for
+    time travel). Raises if nothing was ever committed."""
+    v = version if version is not None else current_graph_version(out_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed graph under {out_dir}")
+    base = f"{out_dir}/v{v}"
+    return spark.read.parquet(f"{base}/nodes"), spark.read.parquet(f"{base}/edges")
+
+
+def vacuum_graph(out_dir: str, keep: int = 2) -> list[int]:
+    """Drop versions no reader should need: everything older than the
+    ``keep`` most recent committed-or-earlier versions, plus orphans newer
+    than the pointer (failed publishes). Never drops the committed version.
+    Returns the removed version numbers."""
+    import shutil
+
+    cur = current_graph_version(out_dir)
+    if cur is None:
+        return []
+    removed = []
+    committed = [v for v in graph_versions(out_dir) if v <= cur]
+    for v in committed[:-keep] if keep else committed[:-1]:
+        if v != cur:
+            shutil.rmtree(f"{out_dir}/v{v}")
+            removed.append(v)
+    for v in graph_versions(out_dir):
+        if v > cur:  # orphan from a dead publish
+            shutil.rmtree(f"{out_dir}/v{v}")
+            removed.append(v)
+    return sorted(removed)
+
+
 def save_graph_tables(
     nodes: DataFrame,
     edges: DataFrame,

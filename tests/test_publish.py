@@ -1,0 +1,73 @@
+"""Snapshot-versioned graph publish: atomic pointer commit, time travel,
+orphan isolation, and vacuum retention."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgspark.construct.graph import (
+    current_graph_version,
+    graph_versions,
+    load_graph,
+    publish_graph,
+    vacuum_graph,
+)
+
+
+def _graph(spark, tag):
+    nodes = spark.createDataFrame(
+        [(i, "L", f"{tag}-{i}", {}) for i in range(5)],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(i, "R", (i + 1) % 5) for i in range(5)],
+        "src_id long, rel string, dst_id long",
+    )
+    return nodes, edges
+
+
+def test_publish_load_time_travel(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    n1, e1 = _graph(spark, "a")
+    n2, e2 = _graph(spark, "b")
+    assert publish_graph(n1, e1, out, n_buckets=2) == 1
+    assert publish_graph(n2, e2, out, n_buckets=2) == 2
+    assert current_graph_version(out) == 2
+    nodes, _ = load_graph(spark, out)
+    assert {r["name"] for r in nodes.collect()} == {f"b-{i}" for i in range(5)}
+    old, _ = load_graph(spark, out, version=1)  # time travel
+    assert {r["name"] for r in old.collect()} == {f"a-{i}" for i in range(5)}
+
+
+def test_failed_publish_invisible_and_vacuumed(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    n1, e1 = _graph(spark, "a")
+    publish_graph(n1, e1, out, n_buckets=2)
+    # simulate a publish that died after writing data but before the commit:
+    # version directory exists, pointer untouched
+    from kgspark.construct.graph import save_graph
+
+    save_graph(*_graph(spark, "dead"), f"{out}/v2", n_buckets=2)
+    assert graph_versions(out) == [1, 2]
+    assert current_graph_version(out) == 1
+    nodes, _ = load_graph(spark, out)  # readers still see v1
+    assert {r["name"] for r in nodes.collect()} == {f"a-{i}" for i in range(5)}
+    assert vacuum_graph(out) == [2]  # orphan removed, committed kept
+    assert graph_versions(out) == [1]
+
+
+def test_vacuum_keeps_recent(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    for tag in "abcd":
+        publish_graph(*_graph(spark, tag), out, n_buckets=2)
+    assert graph_versions(out) == [1, 2, 3, 4]
+    assert vacuum_graph(out, keep=2) == [1, 2]
+    assert graph_versions(out) == [3, 4]
+    # both survivors load
+    assert load_graph(spark, out, version=3)[0].count() == 5
+    assert load_graph(spark, out)[0].count() == 5
+
+
+def test_load_before_any_commit_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_graph(spark, str(tmp_path / "none"))
