@@ -276,3 +276,81 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization for the 100 TB embedding tier: adds
+    ``qvec array<tinyint>`` + ``qscale float`` (symmetric per-vector scale
+    over the L2-NORMALIZED vector, so int-dot * scales ~= cosine).
+
+    4x smaller than float32 at rest and in shuffle; the error of an int8
+    cosine is ~1e-2, which candidate-generation tolerates — re-rank the
+    shortlist with the float vectors (``cosine_topk_int8(rerank=True)``)
+    when exact ordering matters. All expressions are JVM-side; rounding is
+    deterministic, so quantized results are partitioning-invariant.
+    """
+    norm = _l2_normalize(F.col(vec_col).cast("array<double>"))
+    amax = F.aggregate(norm, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    qvec = F.transform(norm, lambda x: F.round(x / scale).cast("tinyint"))
+    return embeddings.withColumn("qvec", qvec).withColumn(
+        "qscale", scale.cast("float")
+    )
+
+
+def cosine_topk_int8(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: bool = True,
+    oversample: int = 4,
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot product
+    JVM-side (tinyint*tinyint accumulated in int — no float math until the
+    final scale multiply), then optional exact float re-rank of a
+    ``k * oversample`` shortlist. Returns (query_id, id, score, rank<=k)."""
+    q = quantize_embeddings(embeddings, vec_col)
+    rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        n = v / (np.linalg.norm(v) or 1.0)
+        s = float(np.abs(n).max() / 127.0) or 1.0
+        qv = [int(x) for x in np.clip(np.rint(n / s), -127, 127)]
+        rows.append((int(qid), qv, s, [float(x) for x in vec]))
+    qdf = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            rows, "query_id int, q_qvec array<int>, q_scale double, qvec_f array<double>"
+        )
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_qvec"), F.col("qvec").cast("array<int>"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = q.crossJoin(qdf).select(
+        "query_id",
+        F.col(id_col),
+        (int_dot.cast("double") * F.col("q_scale") * F.col("qscale")).alias("qscore"),
+        *( [F.col(vec_col), F.col("qvec_f")] if rerank else [] ),
+    )
+    shortlist_k = k * oversample if rerank else k
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.col(id_col))
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist_k
+    )
+    if not rerank:
+        return shortlist.withColumnRenamed("qscore", "score")
+    exact = shortlist.select(
+        "query_id",
+        F.col(id_col),
+        _dot(
+            _l2_normalize(F.col("qvec_f")),
+            _l2_normalize(F.col(vec_col).cast("array<double>")),
+        ).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -369,3 +369,34 @@ def test_asof_join_broadcast_equals_sort_merge(spark):
 
     with pytest.raises(ValueError, match="use asof_join"):
         asof_join_broadcast(events, orders, max_right_rows=10, **kw)
+
+
+def test_int8_quantized_topk_recall_and_schema(spark):
+    """int8 brute-force: qvec really is tinyint (4x at rest), re-ranked
+    top-10 matches exact float top-10, and the quantized-only path stays
+    within recall 0.9."""
+    import pyspark.sql.types as T
+    from kgspark.ops.similarity import cosine_topk, cosine_topk_int8, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    qf = dict((f.name, f.dataType) for f in q.schema.fields)
+    assert qf["qvec"] == T.ArrayType(T.ByteType())
+    assert isinstance(qf["qscale"], T.FloatType)
+
+    rows = emb.limit(5).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    exact = cosine_topk(emb, queries, k=10)
+    got_rr = cosine_topk_int8(emb, queries, k=10, rerank=True)
+    got_q = cosine_topk_int8(emb, queries, k=10, rerank=False)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    ex, rr, qo = topsets(exact), topsets(got_rr), topsets(got_q)
+    for qid in ex:
+        assert rr[qid] == ex[qid], qid  # re-ranked == exact top-k set
+        assert len(qo[qid] & ex[qid]) >= 9, qid  # quantized-only recall >= 0.9
