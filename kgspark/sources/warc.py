@@ -101,7 +101,8 @@ def _parse_warc_bytes(raw: bytes) -> Iterator[dict]:
 
 
 def read_warc(
-    spark: SparkSession, path: str, path_glob: str = "*.warc*"
+    spark: SparkSession, path: str, path_glob: str = "*.warc*",
+    on_error: str = "fail",
 ) -> DataFrame:
     """WARC file(s) -> DataFrame in the canonical WEB_PAGES schema.
 
@@ -109,7 +110,18 @@ def read_warc(
     stages (extract/html.py, ops/textstats.lang_id), not scan outputs —
     keeping the scan schema identical to the synthetic corpus means the
     whole pipeline (pipeline.run_pipeline) runs off real archives unchanged.
+
+    ``on_error``: "fail" (default) propagates parse/decompress errors and
+    fails the task — right for curated archives where a bad file means a
+    bad copy. "skip" quarantines at FILE granularity (a crawl dump at
+    10^4+ files routinely has a few truncated ones; one bad archive must
+    not kill a 10^12-doc job): the corrupt file contributes zero rows and
+    records should be re-fetched out of band. Records already yielded
+    before the corruption point are kept — WARC streams are
+    record-delimited, so a truncated tail invalidates only the tail.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", path_glob)
@@ -121,8 +133,12 @@ def read_warc(
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for rec in _parse_warc_bytes(bytes(content)):
-                    rows.append(rec)
+                try:
+                    for rec in _parse_warc_bytes(bytes(content)):
+                        rows.append(rec)
+                except Exception:
+                    if on_error == "fail":
+                        raise
             out = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
             out["text"] = pd.Series([None] * len(out), dtype=object)
             out["lang"] = pd.Series([None] * len(out), dtype=object)

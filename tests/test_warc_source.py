@@ -89,3 +89,56 @@ def test_pipeline_runs_off_warc(spark, tmp_path):
         for (s, _st, p, o, _ot) in fixtures.expected_triples_for_doc(i)
     }
     assert got == want
+
+
+def test_warc_corrupt_file_quarantine(spark, tmp_path):
+    docs = _docs(10)
+    write_synthetic_warc(str(tmp_path / "good.warc.gz"), docs)
+    # a gzip-magic file with garbage body: decompression fails
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 64)
+
+    got = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert sorted(r["url"] for r in got) == sorted(u for u, _, _ in docs)
+
+    with pytest.raises(Exception):
+        read_warc(spark, str(tmp_path), on_error="fail").count()
+
+    with pytest.raises(ValueError):
+        read_warc(spark, str(tmp_path), on_error="quarantine")
+
+
+def test_warc_fuzz_roundtrip(spark, tmp_path):
+    """Property: any (url, ts, payload) docs — including payloads containing
+    WARC header markers, CRLF runs, and gzip magic — round-trip exactly.
+    Content-Length framing means payload bytes can never be misparsed as
+    record structure."""
+    from hypothesis import given, settings, strategies as st
+
+    url_chars = st.characters(
+        min_codepoint=33, max_codepoint=0x2FFF, blacklist_characters=">"
+    )
+    doc = st.tuples(
+        st.text(url_chars, min_size=1, max_size=30),
+        st.integers(min_value=0, max_value=10**9),
+        st.one_of(
+            st.binary(max_size=200),
+            st.sampled_from(
+                [b"WARC/1.0\r\nWARC-Type: response\r\n\r\n", b"\r\n\r\n", b"\x1f\x8b"]
+            ),
+        ),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6, unique_by=lambda d: d[0]))
+    def run(docs):
+        full = [
+            (f"https://f.example/{i}/{u}", _EPOCH + timedelta(seconds=s), b)
+            for i, (u, s, b) in enumerate(docs)
+        ]
+        p = tmp_path / "fuzz"
+        p.mkdir(exist_ok=True)
+        write_synthetic_warc(str(p / "f.warc.gz"), full)
+        got = {r["url"]: bytes(r["html"]) for r in read_warc(spark, str(p)).collect()}
+        assert got == {u: b for u, _, b in full}
+
+    run()
