@@ -1674,6 +1674,55 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _top_terms(spark, sf):
+    """Keyword extraction: top-3 terms per document by a TF-IDF-style
+    weight. The score is the exact rational tf * (N+1) / (df+1) — the
+    classic log(idf) is a monotone transform of df whose libm ulps differ
+    between engines, while integer-product-over-integer division is one
+    correctly-rounded double op, bit-identical everywhere. Ties broken by
+    term for determinism."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf") * F.lit(float(n_docs + 1))) / (F.col("df") + 1)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+_TOP_TERMS_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, t.term
+  FROM docs, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) >= 3
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf * CAST((SELECT count(*) + 1 FROM docs) AS DOUBLE)) / (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def _window_frames(spark, sf):
     """Window-frame breadth: ntile, percent_rank, cume_dist, a RANGE frame
     (peer rows included — deterministic under ties, unlike a ROWS frame on a
@@ -1902,6 +1951,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "pagerank_tpch": _pagerank_tpch,
         "window_frames": _window_frames,
+        "top_terms_tfidf": _top_terms,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -1980,5 +2030,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "pagerank_tpch": _PAGERANK_TPCH_SQL,
         "window_frames": _WINDOW_FRAMES_SQL,
+        "top_terms_tfidf": _TOP_TERMS_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
