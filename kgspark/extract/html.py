@@ -85,8 +85,9 @@ def extract_text_reference(html: bytes | None) -> str | None:
 # below handles the common well-formed subset with C-speed find/match calls
 # and a small per-TAG (not per-char) Python loop. It is byte-identical to
 # the reference BY CONSTRUCTION: any document containing a construct where
-# tokenization could diverge — charrefs '&', comments/doctype '<!',
-# processing instructions '<?', a '<' that does not open a plain tag,
+# tokenization could diverge — charrefs '&', doctype/bogus declarations
+# ('<!' not opening a well-formed comment; well-formed comments ARE handled,
+# with HTMLParser's own close pattern), processing instructions '<?', a '<' that does not open a plain tag,
 # unbalanced attribute quotes (a quoted '>' would end the tag early),
 # end-tags carrying attributes/self-close, or a non-standard script/style
 # close — is delegated to the reference parser. Equality is fuzz- and
@@ -97,12 +98,15 @@ _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*?)?)(/?)>")
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in ("script", "style")
 }
+# HTMLParser's own comment-close pattern (html.parser._commentclose): '-- >'
+# also terminates a comment — mirroring it keeps the fast path byte-identical
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 def _extract_text_fast(s: str) -> str | None:
     """Returns the extracted text, or None if the doc needs the reference
     parser (never wrong, only conservative)."""
-    if "&" in s or "<!" in s or "<?" in s:
+    if "&" in s or "<?" in s:
         return None
     blocks: list[str] = []
     current: list[str] = []
@@ -120,6 +124,16 @@ def _extract_text_fast(s: str) -> str | None:
             break
         if lt > pos and skip_depth == 0 and block_depth > 0:
             current.append(s[pos:lt])
+        if s.startswith("<!--", lt):
+            # well-formed comment: no data, no state change; resume after the
+            # close (HTMLParser's own close pattern, which accepts '-- >')
+            mc = _COMMENT_CLOSE.search(s, lt + 4)
+            if mc is None:
+                return None  # unclosed comment: HTMLParser EOF handling varies
+            pos = mc.end()
+            continue
+        if s.startswith("<!", lt):
+            return None  # doctype / bogus comment — delegate
         m = match(s, lt)
         if m is None:
             return None  # stray '<' — tokenization may diverge

@@ -120,12 +120,14 @@ def expected_triples_for_doc(i: int) -> list[tuple[str, str, str, str, str]]:
 
 def _doc_html(i: int, sents: list[str]) -> bytes:
     body = "".join(f"<p>{s}</p>" for s in sents)
-    # every 13th doc carries an HTML comment: comments don't change the
-    # extracted text but are a divergence-risk construct, so the corpus
-    # exercises the fast scanner's reference-parser fallback path too
+    # neither construct changes the extracted text, but they pin coverage:
+    # every 13th doc carries a comment (handled natively by the fast
+    # scanner), every 169th additionally a doctype (still delegates to the
+    # reference parser — the fallback path stays corpus-exercised)
     comment = "<!-- 页脚模板 -->" if i % 13 == 0 else ""
+    doctype = "<!DOCTYPE html>" if i % 169 == 0 else ""
     return (
-        f"<html><head><title>页面{i}</title><script>var x={i};</script></head>"
+        f"{doctype}<html><head><title>页面{i}</title><script>var x={i};</script></head>"
         f"<body><nav>首页 导航 登录</nav>{body}{comment}<footer>© example site</footer></body></html>"
     ).encode("utf-8")
 
@@ -196,6 +198,7 @@ def web_pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> 
     text = F.concat_ws("\n", sent_a, sent_b, sent_c, sent_d, sent_e, sent_f)
     html = F.encode(
         F.concat(
+            F.when(i % 169 == 0, F.lit("<!DOCTYPE html>")).otherwise(F.lit("")),
             F.format_string("<html><head><title>页面%d</title><script>var x=%d;</script></head><body><nav>首页 导航 登录</nav>", i, i),
             F.concat_ws(
                 "",

@@ -42,6 +42,15 @@ _ADVERSARIAL_HTML = [
     b"<p/><li>i</li>",
     b"</p attr><p>x</p>",
     b"<!-- comment --><p>x</p>",
+    b"<p>a<!-- mid -->b</p>",
+    b"<p>a<!-- close with space -- >b</p>",
+    b"<p>unclosed <!-- comment",
+    b"<!--><p>tiny</p>",
+    b"<!---><p>tinier</p>",
+    b"<! bogus ><p>x</p>",
+    b"<!doctype html><p>x</p>",
+    b"<nav><!-- in nav --></nav><p>x</p>",
+    b"<script><!-- in cdata --></script><p>x</p>",
     b"<P>UPPER</P>",
     b"<script>no close <p>hidden</p>",
     b"<p>text with < stray</p>",
