@@ -1674,6 +1674,31 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _motif_2hop(spark, sf):
+    """Fixed-relation path motif (query/motif.py): n0 -IN_NATION-> n1
+    -IN_REGION-> n2 over the TPC-H KG, resolved to names. The chain
+    compiles to two rel-filtered equi-joins — the DataFrame shape of the
+    reference's Cypher patterns (graph_retriever.py:78-82)."""
+    from kgspark.query.motif import paths, paths_with_names
+    from kgspark.tpch_graph import build_tpch_graph
+
+    nodes, edges = build_tpch_graph(spark, sf)
+    return paths_with_names(nodes, paths(edges, ["IN_NATION", "IN_REGION"]))
+
+
+_MOTIF_2HOP_SQL = """
+SELECT c_name AS n0, n_name AS n1, r_name AS n2
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT s_name, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def _top_terms(spark, sf):
     """Keyword extraction: top-3 terms per document by a TF-IDF-style
     weight. The score is the exact rational tf * (N+1) / (df+1) — the
@@ -1952,6 +1977,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tpch": _pagerank_tpch,
         "window_frames": _window_frames,
         "top_terms_tfidf": _top_terms,
+        "motif_2hop": _motif_2hop,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -2031,5 +2057,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tpch": _PAGERANK_TPCH_SQL,
         "window_frames": _WINDOW_FRAMES_SQL,
         "top_terms_tfidf": _TOP_TERMS_SQL,
+        "motif_2hop": _MOTIF_2HOP_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

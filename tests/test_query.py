@@ -109,3 +109,34 @@ def test_label_counts(graph):
     counts = {r["label"]: r["n"] for r in retriever.label_counts(nodes).collect()}
     assert counts["Population"] == 1
     assert counts["Disease"] >= 10
+
+
+def test_motif_paths_and_trail_semantics(spark):
+    """Fixed-rel chains match hand-computed paths; node_distinct drops the
+    cycle-revisiting row; name resolution keeps positions."""
+    from kgspark.query.motif import paths, paths_with_names
+
+    edges = spark.createDataFrame(
+        [
+            (1, "R", 2), (2, "S", 3), (2, "S", 4),
+            (5, "R", 2),
+            (1, "R", 6), (6, "S", 1),  # 1 -R-> 6 -S-> 1 revisits node 1
+        ],
+        "src_id long, rel string, dst_id long",
+    )
+    got = {tuple(r) for r in paths(edges, ["R", "S"]).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (5, 2, 3), (5, 2, 4)}
+    loose = {tuple(r) for r in paths(edges, ["R", "S"], node_distinct=False).collect()}
+    assert loose == got | {(1, 6, 1)}
+
+    nodes = spark.createDataFrame(
+        [(i, "L", f"v{i}", {}) for i in (1, 2, 3, 4, 5, 6)],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    named = {tuple(r) for r in paths_with_names(nodes, paths(edges, ["R", "S"])).collect()}
+    assert ("v1", "v2", "v3") in named and len(named) == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        paths(edges, [])
