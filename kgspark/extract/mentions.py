@@ -143,3 +143,68 @@ def score_candidates(mentions: DataFrame) -> DataFrame:
         F.max_by(F.struct("label", "name"), F.struct(F.col("support"), F.col("name"))).alias("best"),
         F.max("support").alias("support"),
     ).select("alias", F.col("best.label").alias("label"), F.col("best.name").alias("name"), "support")
+
+
+def detect_mentions_join(
+    pages: DataFrame, alias_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Beyond-broadcast tier of X6: same output contract as
+    ``detect_mentions`` — (url, alias, label, name, n_hits) — for alias
+    dictionaries too large to ship to workers (10^8+ surface forms at the
+    10^12-doc north star: tens of GB, no closure/broadcast budget).
+
+    Plan: explode each document into its character substrings of exactly
+    the lengths present in the dictionary (JVM-side transform over an index
+    sequence; the distinct-length set is tiny and collected driver-side),
+    count duplicates per document map-side, then ONE shuffle equi-join
+    against the alias table. Semantics are identical to the Aho-Corasick
+    pass by construction: every substring occurrence of every alias —
+    overlaps included — is found, because the automaton finds exactly the
+    substring occurrences.
+
+    Cost model vs the trie tier: the exploded side is
+    |distinct alias lengths| x corpus characters, partially collapsed by the
+    per-document pre-count before it shuffles; right side shuffles the
+    dictionary. Use the trie tier whenever the dictionary fits the closure
+    budget — this tier is for when it cannot. (A dictionary Bloom filter in
+    front of the join would cut the exploded side by its hit rate; Spark
+    exposes no bloom_filter_agg SQL function to compose here, so on a real
+    cluster that prefilter comes from DataSketches or a runtime row-level
+    filter.)
+    """
+    lengths = sorted(
+        r["l"]
+        for r in alias_df.select(F.length("alias").alias("l")).distinct().collect()
+        if r["l"] and r["l"] > 0
+    )
+    if not lengths:
+        return pages.sparkSession.createDataFrame(
+            [], "url string, alias string, label string, name string, n_hits long"
+        )
+    text = F.col(text_col)
+    # guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1, so a
+    # doc shorter than the alias length must yield an empty index array.
+    # NB the lambda must be unary — transform() dispatches on lambda arity,
+    # so a `lambda i, L=L` default-arg capture would be bound as the
+    # (element, index) form with L silently receiving the array index.
+    def _window(length: int):
+        return lambda i: text.substr(i, F.lit(length))
+
+    per_len = [
+        F.transform(
+            F.when(
+                F.length(text) >= L, F.sequence(F.lit(1), F.length(text) - (L - 1))
+            ).otherwise(F.array().cast("array<int>")),
+            _window(L),
+        )
+        for L in lengths
+    ]
+    cand = (
+        pages.filter(text.isNotNull())
+        .select("url", F.explode(F.flatten(F.array(*per_len))).alias("alias"))
+        .groupBy("url", "alias")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return cand.join(alias_df.select("alias", "label", "name"), "alias").select(
+        "url", "alias", "label", "name", "n_hits"
+    )

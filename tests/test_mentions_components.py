@@ -146,3 +146,34 @@ def test_connected_components_vs_union_find(spark, threshold):
         ).collect()
     }
     assert got == exp_map
+
+
+def test_join_tier_equals_trie_tier(spark):
+    """detect_mentions_join (beyond-broadcast substring-join tier) must
+    produce exactly the trie tier's rows — occurrences, overlaps,
+    multi-candidate aliases, and short-doc edge cases included."""
+    from kgspark.extract.mentions import detect_mentions, detect_mentions_join
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "高血压患者服用降压药，高血压严重。"),
+            ("u2", "aaa"),          # overlapping hits of alias 'aa'
+            ("u3", "x"),            # shorter than every alias
+            ("u4", None),           # null text
+            ("u5", "降压药与降压药丸"),  # alias as prefix of longer mention
+        ],
+        "url string, text string",
+    )
+    alias_df = spark.createDataFrame(
+        [
+            ("高血压", "Disease", "高血压"),
+            ("降压药", "Drug", "降压药"),
+            ("降压药", "Product", "降压药(产品)"),  # multi-candidate alias
+            ("aa", "X", "aa"),
+        ],
+        "alias string, label string, name string",
+    )
+    trie = {tuple(r) for r in detect_mentions(pages, alias_df).collect()}
+    join = {tuple(r) for r in detect_mentions_join(pages, alias_df).collect()}
+    assert join == trie
+    assert ("u2", "aa", "X", "aa", 2) in join  # overlaps counted
