@@ -1674,6 +1674,27 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _degree_histogram(spark, sf):
+    """Out-degree histogram over the TPC-H KG (query/stats.py) — the skew
+    diagnostic that justifies salting decisions, as a two-phase aggregate."""
+    from kgspark.query.stats import degree_histogram
+    from kgspark.tpch_graph import build_tpch_graph
+
+    _nodes, edges = build_tpch_graph(spark, sf)
+    return degree_histogram(edges, "out")
+
+
+_DEGREE_HIST_SQL = """
+WITH edges AS (
+  SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
 def _motif_2hop(spark, sf):
     """Fixed-relation path motif (query/motif.py): n0 -IN_NATION-> n1
     -IN_REGION-> n2 over the TPC-H KG, resolved to names. The chain
@@ -1978,6 +1999,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": _window_frames,
         "top_terms_tfidf": _top_terms,
         "motif_2hop": _motif_2hop,
+        "degree_histogram": _degree_histogram,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -2058,5 +2080,6 @@ def oracle_sql() -> dict[str, str]:
         "window_frames": _WINDOW_FRAMES_SQL,
         "top_terms_tfidf": _TOP_TERMS_SQL,
         "motif_2hop": _MOTIF_2HOP_SQL,
+        "degree_histogram": _DEGREE_HIST_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

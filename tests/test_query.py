@@ -140,3 +140,24 @@ def test_motif_paths_and_trail_semantics(spark):
 
     with _pytest.raises(ValueError):
         paths(edges, [])
+
+
+def test_graph_summary_and_sql_views(spark):
+    from kgspark.query.stats import graph_summary, register_graph_views
+
+    nodes = spark.createDataFrame(
+        [(1, "A", "a", {}), (2, "A", "b", {}), (3, "B", "c", {})],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "R", 2), (1, "S", 3)], "src_id long, rel string, dst_id long"
+    )
+    row = graph_summary(nodes, edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_labels"], row["n_rels"]) == (3, 2, 2, 2)
+    assert row["max_out_degree"] == 2 and row["n_dangling"] == 2
+
+    nv, ev = register_graph_views(spark, nodes, edges, prefix="t_stats")
+    got = spark.sql(
+        f"SELECT count(*) AS c FROM {nv} n JOIN {ev} e ON n.entity_id = e.src_id"
+    ).collect()[0]["c"]
+    assert got == 2
