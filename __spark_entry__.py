@@ -1674,6 +1674,38 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _approx_quantile_sampled(spark, sf):
+    """Sketch-by-sampling quantiles: exact interpolated percentiles over a
+    deterministic 1/4 hash sample of lineitem. At 100 TB this is the cheap
+    tier between nothing and a full percentile pass — the sample predicate
+    is a narrow pushed-down filter (no shuffle added), the percentile runs
+    on 1/4 of the rows, and determinism (md5 of the key, no RNG) makes the
+    estimate reproducible across runs and engines — hence oracle-able,
+    unlike t-digest/KLL whose merge order is engine-specific."""
+    li = _t(spark, sf, "lineitem")
+    sampled = li.filter(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_est"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_est"),
+        F.count("*").alias("n_sampled"),
+    )
+
+
+_APPROX_QUANTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_est,
+       count(*) AS n_sampled
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+GROUP BY l_returnflag
+"""
+
+
 def _degree_histogram(spark, sf):
     """Out-degree histogram over the TPC-H KG (query/stats.py) — the skew
     diagnostic that justifies salting decisions, as a two-phase aggregate."""
@@ -2000,6 +2032,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_tfidf": _top_terms,
         "motif_2hop": _motif_2hop,
         "degree_histogram": _degree_histogram,
+        "approx_quantile_sampled": _approx_quantile_sampled,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -2081,5 +2114,6 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_tfidf": _TOP_TERMS_SQL,
         "motif_2hop": _MOTIF_2HOP_SQL,
         "degree_histogram": _DEGREE_HIST_SQL,
+        "approx_quantile_sampled": _APPROX_QUANTILE_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }
