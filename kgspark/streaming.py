@@ -185,3 +185,36 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_dir: str,
+    delay: str = "1 hour",
+    query_name: str = "dedup_wm",
+):
+    """Native streaming dedup: ``dropDuplicatesWithinWatermark`` on url.
+
+    The state-bounded counterpart of ``stream_first_seen_urls``: that
+    operator keeps one state entry per url FOREVER (exact first-seen over
+    the whole stream — unbounded state at crawl scale), while this one
+    guarantees dedup only among events whose times fall within the
+    watermark delay and lets the state store EVICT urls older than the
+    watermark. For continuous crawl ingestion, re-fetches cluster within
+    hours, so a bounded window catches them with state proportional to the
+    delay, not the corpus — choose per retention requirement.
+    """
+    pages = (
+        spark.readStream.schema(schemas.WEB_PAGES)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", delay)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select("url", "warc_ts", "lang")
+    )
+    return (
+        pages.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -151,3 +151,20 @@ def test_stream_sessionize_native_session_window(spark, tmp_path):
             last_per_user[u] = (u, start, n)
     exp_closed = exp - set(last_per_user.values())
     assert got == exp_closed and len(got) == 6
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-crawled urls inside the watermark window are dropped; each url
+    survives exactly once (all fixture re-crawls land within the delay)."""
+    from kgspark import fixtures, streaming
+
+    src = str(tmp_path / "wm_src")
+    pages = fixtures.web_pages_spark_small(spark, 40)
+    dup = pages.limit(15)  # same urls + same warc_ts -> in-window duplicates
+    pages.unionByName(dup).write.parquet(src)
+
+    q = streaming.stream_dedup_within_watermark(spark, src, query_name="dedup_wm_t")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT url FROM dedup_wm_t").collect()
+    urls = [r["url"] for r in out]
+    assert len(urls) == 40 and len(set(urls)) == 40
