@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from kgspark.construct import graph as g
 from kgspark.extract import components, openie
 
+_SKETCH_K = 64  # per-bucket KMV url-sketch size (rse ~ 1/sqrt(k-2) ~ 13%)
+
 
 @dataclass
 class PipelineResult:
@@ -102,6 +104,16 @@ def extract_stage(
         F.max("url").alias("url_max"),
         F.sum("from_html").alias("n_html_extracted"),
     )
+    # per-bucket KMV url sketch (<= _SKETCH_K hashes): lineage rows double as
+    # mergeable cardinality summaries — corpus-level distinct-url questions
+    # are answered from lineage alone, no rescan (corpus_url_cardinality).
+    # kmv_sketch's sort-based plan bounds per-group state at k rows.
+    from kgspark.ops.sketch import kmv_sketch
+
+    url_sketches = kmv_sketch(processed, "url", ["bucket"], k=_SKETCH_K).withColumnRenamed(
+        "sketch", "url_sketch"
+    )
+    doc_stats = doc_stats.join(url_sketches, "bucket", "left")
     triple_stats = written.groupBy("bucket").agg(
         F.count("*").alias("n_triples"),
         F.countDistinct("pred").alias("n_preds"),
@@ -120,6 +132,7 @@ def extract_stage(
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
             F.coalesce("n_preds", F.lit(0)).alias("n_preds"),
             F.coalesce("n_subjects", F.lit(0)).alias("n_subjects"),
+            "url_sketch",
             F.lit("done").alias("status"),
         )
     )
@@ -183,3 +196,24 @@ def run_pipeline(
         n_buckets_processed=processed,
         n_buckets_skipped=skipped,
     )
+
+
+def corpus_url_cardinality(spark: SparkSession, out_dir: str, k: int = _SKETCH_K) -> int:
+    """Approximate distinct-url count of everything this pipeline has
+    processed, answered FROM THE LINEAGE TABLE ALONE — no corpus or triple
+    rescan. Latest lineage row per bucket (resume semantics) -> merge the
+    per-bucket KMV sketches -> estimate. The url-hash bucketing makes the
+    per-bucket sketches disjoint-domain, but KMV merge does not need that
+    property; it is correct for arbitrary overlap (ops/sketch.py)."""
+    from kgspark.ops.sketch import kmv_estimate, kmv_merge
+
+    lin = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/lineage")
+    latest = (
+        lin.groupBy("bucket")
+        .agg(F.max_by(F.col("url_sketch"), F.col("run_seq")).alias("sketch"))
+        .where(F.col("sketch").isNotNull())
+        .withColumn("all", F.lit(1))
+    )
+    merged = kmv_merge(latest, ["all"], k=k)
+    rows = kmv_estimate(merged, k=k).collect()
+    return int(rows[0]["est_distinct"]) if rows else 0

@@ -257,3 +257,25 @@ def test_compact_graph_reduces_files_preserves_content(spark, tmp_path):
     assert after_rows == before_rows
     assert stats["nodes"] == len(after_rows)
     assert n_files("nodes") <= 4 < before_files
+
+
+def test_corpus_cardinality_from_lineage(spark, tmp_path):
+    """Lineage sketches answer corpus-level distinct-url questions without
+    rescanning: estimate within KMV error of the true count, and stable
+    across a resume (latest row per bucket wins, no double counting)."""
+    import math
+
+    from kgspark import fixtures
+    from kgspark.pipeline import _SKETCH_K, corpus_url_cardinality, run_pipeline
+
+    out = str(tmp_path / "card")
+    pages = fixtures.web_pages_df(spark, 1200)
+    run_pipeline(spark, pages, out, n_buckets=8)
+    est = corpus_url_cardinality(spark, out)
+    rse = 1.0 / math.sqrt(_SKETCH_K - 2)
+    assert abs(est - 1200) <= 4 * rse * 1200, est
+
+    # a rerun (everything skipped) and a forced re-run of one bucket must
+    # not inflate the estimate
+    run_pipeline(spark, pages, out, n_buckets=8, run_id="r2", run_seq=2)
+    assert corpus_url_cardinality(spark, out) == est
