@@ -1678,8 +1678,9 @@ def _approx_quantile_sampled(spark, sf):
     """Sketch-by-sampling quantiles: exact interpolated percentiles over a
     deterministic 1/4 hash sample of lineitem. At 100 TB this is the cheap
     tier between nothing and a full percentile pass — the sample predicate
-    is a narrow pushed-down filter (no shuffle added), the percentile runs
-    on 1/4 of the rows, and determinism (md5 of the key, no RNG) makes the
+    is stage-local (evaluated right after the columnar read — a hash of a
+    column can't push into the parquet reader — and adds no shuffle), the
+    percentile runs on 1/4 of the rows, and determinism (md5, no RNG) makes the
     estimate reproducible across runs and engines — hence oracle-able,
     unlike t-digest/KLL whose merge order is engine-specific."""
     li = _t(spark, sf, "lineitem")

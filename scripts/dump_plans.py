@@ -108,6 +108,33 @@ def main() -> None:
     ))
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    from kgspark.query.motif import paths
+
+    motif = paths(spark.table(et), ["IN_NATION", "IN_REGION"])
+    sections.append((
+        "Path motif (rel-filtered chained equi-joins, kgspark.query.motif)",
+        "Look for: each hop scans the edge table with the rel predicate pushed "
+        "(PushedFilters EqualTo(rel,...)); hop 1 keeps the bucketed src_id "
+        "layout; the n1 join key is the previous hop's dst — that side "
+        "exchanges, the honest cost of chaining through a src-bucketed "
+        "layout (a dst-bucketed edge copy would make alternate hops "
+        "exchange-free; not worth 2x storage at this fan-in).",
+        plan_of(motif),
+    ))
+
+    from kgspark.ops.sketch import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = kmv_sketch(docs, "doc_id", ["lang"], k=16)
+    sections.append((
+        "KMV distinct-count sketch (kgspark.ops.sketch)",
+        "Look for: two-phase partial/final HashAggregate for the distinct "
+        "(the same shuffle exact distinct pays ONCE), then a bounded "
+        "per-group Window + final collect_list of <= k rows — per-group "
+        "state is capped at k, never the group size.",
+        plan_of(sk),
+    ))
     spark.sql(f"DROP TABLE IF EXISTS {nt}")
     spark.sql(f"DROP TABLE IF EXISTS {et}")
 
