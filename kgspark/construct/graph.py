@@ -566,6 +566,7 @@ def save_graph_tables(
     edges: DataFrame,
     n_buckets: int = 32,
     prefix: str = "kg",
+    dst_copy: bool = False,
 ) -> tuple[str, str]:
     """S7 catalog variant: true Spark bucketing (``bucketBy`` + ``sortBy`` +
     ``saveAsTable``), the sandbox stand-in for Iceberg's ``bucket(entity_id)``
@@ -578,7 +579,17 @@ def save_graph_tables(
     This is the layout the 100 TB deployment uses for every graph-expand
     query; asserted in tests/test_skew_and_plans.py.
 
-    Returns the two table names.
+    ``dst_copy`` additionally writes ``{prefix}_edges_by_dst`` — the same
+    edges bucketed/sorted by ``dst_id``. This is the standard
+    both-directions graph layout: forward expands (src resolution, motif
+    hops from a source) use the src table, REVERSE expands (J3-style
+    "which insurances cover disease X": edges filtered on rel joined to
+    nodes on dst_id) read the dst copy and also plan with zero exchanges.
+    2x edge storage — pay it when reverse traversals are hot; edges are a
+    small fraction of corpus bytes (SCALE.md §1), so at 100 TB the copy is
+    tens of GB against the petabyte input.
+
+    Returns the two primary table names.
     """
     nt, et = f"{prefix}_nodes", f"{prefix}_edges"
     (
@@ -589,4 +600,10 @@ def save_graph_tables(
         edges.write.mode("overwrite").format("parquet")
         .bucketBy(n_buckets, "src_id").sortBy("src_id").saveAsTable(et)
     )
+    if dst_copy:
+        (
+            edges.write.mode("overwrite").format("parquet")
+            .bucketBy(n_buckets, "dst_id").sortBy("dst_id")
+            .saveAsTable(f"{prefix}_edges_by_dst")
+        )
     return nt, et

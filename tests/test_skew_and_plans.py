@@ -213,3 +213,37 @@ def test_lookup_entity_prunes_partitions(spark, tmp_path, mini_sources):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan, plan[:2000]
     assert "PushedFilters: [IsNotNull(entity_id), EqualTo(entity_id" in plan, plan[:2000]
+
+
+def test_dst_copy_makes_reverse_expand_shuffle_free(spark, tmp_path):
+    """With dst_copy=True, the J3-style reverse expand (edges joined to
+    nodes on dst_id) plans a zero-exchange sort-merge join off the
+    dst-bucketed copy — while the same join against the src-bucketed table
+    must exchange, which is exactly the asymmetry the copy exists to fix."""
+    from kgspark.construct.graph import save_graph_tables
+    from kgspark.tpch_graph import build_tpch_graph
+
+    nodes, edges = build_tpch_graph(spark, SF_DIR)
+    nt, et = save_graph_tables(nodes, edges, n_buckets=8, prefix="t_dst", dst_copy=True)
+    dt = "t_dst_edges_by_dst"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        n = spark.table(nt)
+
+        rev = spark.table(dt).join(n, spark.table(dt).dst_id == n.entity_id)
+        assert rev.count() > 0
+        plan = rev._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and plan.count("Exchange") == 0, plan[:2000]
+
+        fwd_table_rev_join = spark.table(et).join(
+            n, spark.table(et).dst_id == n.entity_id
+        )
+        fwd_table_rev_join.count()
+        plan2 = fwd_table_rev_join._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange") > 0  # src layout can't serve dst joins
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for t in (nt, et, dt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
