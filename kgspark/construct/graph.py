@@ -561,6 +561,50 @@ def vacuum_graph(out_dir: str, keep: int = 2) -> list[int]:
     return sorted(removed)
 
 
+def diff_graphs(
+    spark,
+    out_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict[str, DataFrame]:
+    """What changed between two published snapshots (publish_graph/time
+    travel): the crawl-over-crawl report an operator reads before promoting
+    a new graph version.
+
+    Returns lazy DataFrames keyed:
+      nodes_added / nodes_removed — (entity_id, label, name)
+      props_changed — (entity_id, label, name, props_from, props_to)
+      edges_added / edges_removed — (src_id, rel, dst_id)
+
+    Plan shape: left-anti joins on entity_id / the edge triple for
+    add/remove (hash joins on the bucketed id columns), and an inner join +
+    map inequality for prop changes. All set-difference work happens on id
+    columns; props are only read for the matched-id inner join.
+    """
+    n_from, e_from = load_graph(spark, out_dir, version=from_version)
+    n_to, e_to = load_graph(spark, out_dir, version=to_version)
+    nid, eid = ["entity_id"], ["src_id", "rel", "dst_id"]
+    node_cols = ["entity_id", "label", "name"]
+    props_changed = (
+        n_to.select(*node_cols, F.col("props").alias("props_to"))
+        .join(n_from.select("entity_id", F.col("props").alias("props_from")), nid)
+        # map equality isn't a comparable op in Spark SQL; compare the
+        # entry sets via sorted to_json of array_sort'd entries
+        .where(
+            F.to_json(F.array_sort(F.map_entries("props_to")))
+            != F.to_json(F.array_sort(F.map_entries("props_from")))
+        )
+        .select(*node_cols, "props_from", "props_to")
+    )
+    return {
+        "nodes_added": n_to.select(*node_cols).join(n_from, nid, "left_anti"),
+        "nodes_removed": n_from.select(*node_cols).join(n_to, nid, "left_anti"),
+        "props_changed": props_changed,
+        "edges_added": e_to.select(*eid).join(e_from, eid, "left_anti"),
+        "edges_removed": e_from.select(*eid).join(e_to, eid, "left_anti"),
+    }
+
+
 def save_graph_tables(
     nodes: DataFrame,
     edges: DataFrame,

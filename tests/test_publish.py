@@ -71,3 +71,35 @@ def test_vacuum_keeps_recent(spark, tmp_path):
 def test_load_before_any_commit_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         load_graph(spark, str(tmp_path / "none"))
+
+
+def test_diff_graphs(spark, tmp_path):
+    from kgspark.construct.graph import diff_graphs
+
+    out = str(tmp_path / "kg")
+    n1 = spark.createDataFrame(
+        [(1, "L", "a", {"k": "1"}), (2, "L", "b", {}), (3, "L", "c", {})],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    e1 = spark.createDataFrame(
+        [(1, "R", 2), (2, "R", 3)], "src_id long, rel string, dst_id long"
+    )
+    n2 = spark.createDataFrame(
+        [(1, "L", "a", {"k": "2"}), (2, "L", "b", {}), (4, "L", "d", {})],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    e2 = spark.createDataFrame(
+        [(1, "R", 2), (1, "R", 4)], "src_id long, rel string, dst_id long"
+    )
+    publish_graph(n1, e1, out, n_buckets=2)
+    publish_graph(n2, e2, out, n_buckets=2)
+
+    d = diff_graphs(spark, out, from_version=1)  # to_version defaults current
+    assert {r["entity_id"] for r in d["nodes_added"].collect()} == {4}
+    assert {r["entity_id"] for r in d["nodes_removed"].collect()} == {3}
+    changed = d["props_changed"].collect()
+    assert [(r["entity_id"], r["props_from"], r["props_to"]) for r in changed] == [
+        (1, {"k": "1"}, {"k": "2"})
+    ]
+    assert {tuple(r) for r in d["edges_added"].collect()} == {(1, "R", 4)}
+    assert {tuple(r) for r in d["edges_removed"].collect()} == {(2, "R", 3)}
