@@ -111,3 +111,45 @@ INSURANCE_RULES = [
         "description", ("癌症", "恶性肿瘤"),
     ),
 ]
+
+
+# --- rules as data -----------------------------------------------------------
+_RULE_KINDS = {"explode": ExplodeRule, "scalar": ScalarRule, "contains": ContainsRule}
+
+
+def rule_to_dict(rule) -> dict:
+    """Serialize a rule to a plain JSON-able dict (``kind`` + fields)."""
+    from dataclasses import asdict
+
+    kind = {v: k for k, v in _RULE_KINDS.items()}[type(rule)]
+    d = {"kind": kind, **asdict(rule)}
+    if "keywords" in d:
+        d["keywords"] = list(d["keywords"])
+    return d
+
+
+def rules_from_config(config: list[dict] | str) -> list:
+    """Load triple-generation rules from data instead of code: a JSON string
+    or a list of dicts, each ``{"kind": "explode"|"scalar"|"contains", ...
+    fields}``. Lets a pipeline deployment version its extraction ontology in
+    config (review/diff the ontology without touching code), round-tripping
+    exactly through ``rule_to_dict``. Unknown kinds or fields fail fast —
+    a typo'd ontology must not silently drop an edge type."""
+    import json as _json
+
+    if isinstance(config, str):
+        config = _json.loads(config)
+    rules = []
+    for entry in config:
+        entry = dict(entry)
+        kind = entry.pop("kind", None)
+        if kind not in _RULE_KINDS:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+        cls = _RULE_KINDS[kind]
+        if "keywords" in entry:
+            entry["keywords"] = tuple(entry["keywords"])
+        try:
+            rules.append(cls(**entry))
+        except TypeError as exc:
+            raise ValueError(f"bad fields for {kind} rule: {exc}") from exc
+    return rules

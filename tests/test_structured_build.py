@@ -220,3 +220,22 @@ def test_export_ntriples_roundtrip(spark, tmp_path, mini_sources):
     ech = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
     unescaped = re.sub(r"\\(.)", lambda m: ech[m.group(1)], lit)
     assert unescaped == hostile
+
+
+def test_rules_roundtrip_through_config(spark, mini_sources):
+    """The ontology serializes to JSON and back without semantic change:
+    a graph built from config-loaded rules equals the code-rule graph."""
+    import json
+
+    from kgspark.ontology import DISEASE_RULES, INSURANCE_RULES, rule_to_dict, rules_from_config
+
+    for ruleset in (DISEASE_RULES, INSURANCE_RULES):
+        blob = json.dumps([rule_to_dict(r) for r in ruleset], ensure_ascii=False)
+        assert rules_from_config(blob) == ruleset
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rules_from_config([{"kind": "nope"}])
+    with _pytest.raises(ValueError):
+        rules_from_config([{"kind": "scalar", "bogus_field": 1}])
