@@ -218,3 +218,44 @@ def stream_dedup_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_publish_graph(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    publish_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    trigger_once: bool = True,
+):
+    """Continuous corpus -> ATOMICALLY VERSIONED graph: like
+    ``stream_update_graph``, but after each micro-batch's incremental merge
+    the working graph is committed as a new snapshot
+    (``construct.graph.publish_graph``). Readers on ``publish_dir`` get
+    snapshot isolation — they never see a half-merged batch, only the last
+    committed version — while the merge keeps its batch-sized incremental
+    cost. The stream checkpoint + the publish pointer together give
+    effectively-once visibility: a crash between merge and publish re-runs
+    the (idempotent) merge and publishes once.
+    """
+    from kgspark.construct.graph import merge_into_graph, publish_graph
+
+    pages = spark.readStream.schema(schemas.WEB_PAGES).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        triples = extract_doc_triples(with_extracted_text(batch_df)).select(
+            "subj", "subj_type", "pred", "obj", "obj_type"
+        )
+        merge_into_graph(spark, work_dir, [], triples, n_buckets=n_buckets)
+        nodes = spark.read.parquet(f"{work_dir}/nodes").drop("bucket")
+        edges = spark.read.parquet(f"{work_dir}/edges").drop("bucket")
+        publish_graph(nodes, edges, publish_dir, n_buckets=n_buckets)
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

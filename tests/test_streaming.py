@@ -168,3 +168,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT url FROM dedup_wm_t").collect()
     urls = [r["url"] for r in out]
     assert len(urls) == 40 and len(set(urls)) == 40
+
+
+def test_stream_publish_graph_versions(spark, tmp_path):
+    """Each micro-batch commits one snapshot: after two batches the publish
+    dir holds versions [1, 2], the current snapshot equals the working
+    graph, and time travel to v1 shows only batch 1's entities."""
+    from kgspark import fixtures, streaming
+    from kgspark.construct.graph import current_graph_version, load_graph
+
+    src = str(tmp_path / "pub_src")
+    fixtures.web_pages_spark_small(spark, 10).write.parquet(src)
+
+    kw = dict(
+        work_dir=str(tmp_path / "work"),
+        publish_dir=str(tmp_path / "pub"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q = streaming.stream_publish_graph(spark, src, **kw)
+    q.awaitTermination(180)
+    assert current_graph_version(kw["publish_dir"]) == 1
+    v1_nodes, _ = load_graph(spark, kw["publish_dir"])
+    n1 = v1_nodes.count()
+    assert n1 > 0
+
+    # second batch: new docs with new entities
+    fixtures.web_pages_spark_small(spark, 30).filter(
+        "url NOT IN (SELECT url FROM parquet.`" + src + "`)"
+    ).write.mode("append").parquet(src)
+    q2 = streaming.stream_publish_graph(spark, src, **kw)
+    q2.awaitTermination(180)
+    assert current_graph_version(kw["publish_dir"]) == 2
+    v2_nodes, _ = load_graph(spark, kw["publish_dir"])
+    assert v2_nodes.count() > n1
+    old_nodes, _ = load_graph(spark, kw["publish_dir"], version=1)
+    assert old_nodes.count() == n1  # time travel unaffected by the merge
