@@ -31,11 +31,18 @@ def retrieve_subgraph(
     entities: list[str],
     hops: int = 2,
     limit: int = 50,
+    ranks: DataFrame | None = None,
 ) -> Subgraph:
     """Undirected h-hop neighborhood of the named seed entities.
 
     Returns reached nodes (with hop distance) and the distinct triples among
     reached nodes, capped at ``limit`` triples (deterministic order).
+
+    ``ranks``: optional (name, rank) importance table (ops/graph_algs
+    pagerank over node names). When given, the triple cap keeps the
+    HIGHEST-RANKED triples (max of endpoint ranks, name tiebreak) instead
+    of alphabetical-first — the reference caps at 50 *arbitrary* paths
+    (graph_retrieval.py:48); rank makes the cap keep what matters.
     """
     und = edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b")).union(
         edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b"))
@@ -81,9 +88,23 @@ def retrieve_subgraph(
             F.col("o.name").alias("obj"),
             F.col("o.label").alias("obj_type"),
         )
-        .orderBy("subj", "pred", "obj")
-        .limit(limit)
     )
+    if ranks is not None:
+        rs = F.broadcast(ranks.select(F.col("name").alias("subj"), F.col("rank").alias("r_s")))
+        ro = F.broadcast(ranks.select(F.col("name").alias("obj"), F.col("rank").alias("r_o")))
+        sub_triples = (
+            sub_triples.join(rs, "subj", "left")
+            .join(ro, "obj", "left")
+            .withColumn(
+                "score",
+                F.greatest(F.coalesce("r_s", F.lit(0.0)), F.coalesce("r_o", F.lit(0.0))),
+            )
+            .orderBy(F.desc("score"), "subj", "pred", "obj")
+            .limit(limit)
+            .select("subj", "subj_type", "pred", "obj", "obj_type")
+        )
+    else:
+        sub_triples = sub_triples.orderBy("subj", "pred", "obj").limit(limit)
     return Subgraph(nodes=reached, triples=sub_triples)
 
 

@@ -161,3 +161,25 @@ def test_graph_summary_and_sql_views(spark):
         f"SELECT count(*) AS c FROM {nv} n JOIN {ev} e ON n.entity_id = e.src_id"
     ).collect()[0]["c"]
     assert got == 2
+
+
+def test_subgraph_rank_ordered_truncation(spark):
+    """With a rank table, the triple cap keeps the highest-ranked triples
+    instead of alphabetical-first."""
+    from kgspark.query.subgraph import retrieve_subgraph
+
+    nodes = spark.createDataFrame(
+        [(i, "L", n, {}) for i, n in [(1, "seed"), (2, "aaa"), (3, "zzz")]],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "R", 2), (1, "R", 3)], "src_id long, rel string, dst_id long"
+    )
+    # alphabetical cap would keep (seed -R-> aaa); rank favors zzz
+    ranks = spark.createDataFrame(
+        [("zzz", 0.9), ("aaa", 0.1), ("seed", 0.0)], "name string, rank double"
+    )
+    sub = retrieve_subgraph(nodes, edges, ["seed"], hops=1, limit=1, ranks=ranks)
+    assert [(r["subj"], r["obj"]) for r in sub.triples.collect()] == [("seed", "zzz")]
+    sub_plain = retrieve_subgraph(nodes, edges, ["seed"], hops=1, limit=1)
+    assert [(r["subj"], r["obj"]) for r in sub_plain.triples.collect()] == [("seed", "aaa")]
