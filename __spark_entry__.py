@@ -1674,6 +1674,55 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _chunk_docs(spark, sf):
+    """Sliding-window chunking (ops/textstats.chunk_documents): map-only
+    JVM expression, one row per 200-char window advancing by 150."""
+    from kgspark.ops.textstats import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), size=200, overlap=50)
+
+
+_CHUNK_DOCS_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+c AS (
+  SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+         substr(text, CAST(t.i * 150 + 1 AS INT), 200) AS chunk_text
+  FROM d, unnest(range(0, CAST(greatest(ceil((length(text) - 200) / 150.0), 0) AS BIGINT) + 1)) AS t(i)
+)
+SELECT doc_id, chunk_id, chunk_text FROM c WHERE length(chunk_text) > 0
+"""
+
+
+def _redact_pii_docs(spark, sf):
+    """PII redaction (ops/textstats.redact_pii) over text with synthetic
+    deterministic emails/phones spliced in (the corpus itself carries no
+    PII): both engines build the same string, then redact."""
+    from kgspark.ops.textstats import redact_pii
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +1415555"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 50),
+    )
+    return d.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+_REDACT_PII_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           'contact user' || CAST(doc_id AS VARCHAR) || '@example.com tel +1415555'
+             || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ' || substr(text, 1, 50),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _approx_quantile_sampled(spark, sf):
     """Sketch-by-sampling quantiles: exact interpolated percentiles over a
     deterministic 1/4 hash sample of lineitem. At 100 TB this is the cheap
@@ -2034,6 +2083,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_2hop": _motif_2hop,
         "degree_histogram": _degree_histogram,
         "approx_quantile_sampled": _approx_quantile_sampled,
+        "chunk_docs": _chunk_docs,
+        "redact_pii_docs": _redact_pii_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -2116,5 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "motif_2hop": _MOTIF_2HOP_SQL,
         "degree_histogram": _DEGREE_HIST_SQL,
         "approx_quantile_sampled": _APPROX_QUANTILE_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
+        "redact_pii_docs": _REDACT_PII_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

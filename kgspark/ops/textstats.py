@@ -131,3 +131,57 @@ def repetition_ratio(text: Column, k: int = 5) -> Column:
     return F.round(
         1 - F.size(F.array_distinct(shingles)) / n_grams.cast("double"), 6
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 512,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking for training-data prep: one row per
+    chunk, columns (id, chunk_id, chunk_text). Character windows of
+    ``size`` advancing by ``size - overlap`` (the final window may be
+    shorter; empty/null docs yield no rows).
+
+    Pure JVM expression: an index sequence -> substr transform -> explode,
+    so chunking a 100 TB corpus is a map-only stage with no Python and no
+    shuffle; the chunk multiplicity (~1/(1-overlap/size)) is the only data
+    growth. Character (not token) windows keep it deterministic and
+    tokenizer-agnostic; compose with token_count_* downstream to filter.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    step = size - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((F.length(text) - F.lit(size)) / F.lit(step)), F.lit(0)),
+    )
+    chunks = F.transform(starts, lambda i: text.substr(i * step + 1, F.lit(size)))
+    return (
+        df.where(text.isNotNull() & (F.length(text) > 0))
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .where(F.length("chunk_text") > 0)
+    )
+
+
+# email, then international-ish phone sequences; ORDER MATTERS (an email may
+# contain digit runs a phone pattern would mangle first)
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Curation-grade PII scrub: emails then phone-number-like digit runs
+    replaced with typed placeholders. Deliberately simple, deterministic
+    regexes (both engines' dialects agree on this subset — the oracle
+    hash-matches) — a production deployment swaps in its compliance
+    ruleset behind the same column-in/column-out contract."""
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

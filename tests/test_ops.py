@@ -400,3 +400,45 @@ def test_int8_quantized_topk_recall_and_schema(spark):
     for qid in ex:
         assert rr[qid] == ex[qid], qid  # re-ranked == exact top-k set
         assert len(qo[qid] & ex[qid]) >= 9, qid  # quantized-only recall >= 0.9
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from kgspark.ops.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "ab"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(df, size=4, overlap=2).collect()
+    }
+    # doc 1: windows at 0,2,4,6 — the last window reaches the doc end, so
+    # no redundant tail chunk is emitted
+    assert got == {
+        (1, 0): "abcd", (1, 1): "cdef", (1, 2): "efgh", (1, 3): "ghij",
+        (2, 0): "ab",
+    }
+    # reconstruction property: stripping the overlap re-yields the doc
+    parts = [got[(1, i)] for i in range(4)]
+    rebuilt = parts[0] + "".join(p[2:] for p in parts[1:])
+    assert rebuilt == "abcdefghij"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+    from kgspark.ops.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [("contact bob.smith+x@ex-ample.co.uk or +1 (415) 555-0199 now",),
+         ("no pii here",)],
+        "text string",
+    )
+    got = [r["t"] for r in df.select(redact_pii(F.col("text")).alias("t")).collect()]
+    assert got[0] == "contact <EMAIL> or <PHONE> now"
+    assert got[1] == "no pii here"
