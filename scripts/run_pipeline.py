@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--input", help="parquet dir with web_pages schema")
     ap.add_argument("--synthesize", type=int, help="generate an N-doc corpus instead")
     ap.add_argument("--warc", action="store_true", help="--input is a dir of WARC archives")
+    ap.add_argument("--publish-dir", help="also commit the graph as an atomic snapshot here")
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--run-id", default="run-0")
@@ -61,8 +62,18 @@ def main() -> None:
         resume=not args.no_resume,
         canonicalize=not args.no_canonicalize,
     )
-    nodes = spark.read.parquet(f"{args.out}/nodes").count()
-    edges = spark.read.parquet(f"{args.out}/edges").count()
+    nodes_df = spark.read.parquet(f"{args.out}/nodes")
+    edges_df = spark.read.parquet(f"{args.out}/edges")
+    nodes = nodes_df.count()
+    edges = edges_df.count()
+    version = None
+    if args.publish_dir:
+        from kgspark.construct.graph import publish_graph
+
+        version = publish_graph(
+            nodes_df.drop("bucket"), edges_df.drop("bucket"),
+            args.publish_dir, n_buckets=args.buckets,
+        )
     print(
         json.dumps(
             {
@@ -72,7 +83,7 @@ def main() -> None:
                 "buckets_skipped": res.n_buckets_skipped,
                 "nodes": nodes,
                 "edges": edges,
-                "out": args.out,
+                "out": args.out, "published_version": version,
             }
         )
     )
