@@ -87,3 +87,91 @@ def host_graph(links: DataFrame) -> DataFrame:
         & (F.col("src_host") != F.col("dst_host"))
     )
     return hosts.groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links"))
+
+
+class _AnchorCollector(HTMLParser):
+    """(href, anchor text) pairs; nested tags inside <a> contribute their
+    text; nested/unclosed anchors close the open one first (browser-like)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def _close(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, "".join(self._text).strip()))
+        self._href, self._text = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._close()
+            self._href = next((v for k, v in attrs if k == "href" and v), None)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._text.append(data)
+
+    def close(self) -> None:  # EOF with an unclosed <a>
+        super().close()
+        self._close()
+
+
+def extract_anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, html) -> (dst_url, anchor_text) rows — anchor text is the
+    web's crowd-sourced alias dictionary: the phrases pages use when
+    linking to a target are candidate surface forms FOR that target
+    (the classic anchor-text entity-linking signal). Empty anchors
+    (image links) are dropped; href resolution as in extract_links."""
+    cols = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dst, txt = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                p = _AnchorCollector()
+                p.feed(bytes(html).decode("utf-8", errors="replace"))
+                p.close()
+                for href, text in p.pairs:
+                    if not text:
+                        continue
+                    try:
+                        absolute = urldefrag(urljoin(url, href))[0]
+                    except ValueError:
+                        continue
+                    if urlsplit(absolute).scheme in ("http", "https"):
+                        dst.append(absolute)
+                        txt.append(text)
+            yield pd.DataFrame({"dst_url": dst, "anchor_text": txt})
+
+    return cols.mapInPandas(run, schema="dst_url string, anchor_text string")
+
+
+def alias_candidates_from_anchors(
+    anchors: DataFrame, min_support: int = 2, top_k: int = 5
+) -> DataFrame:
+    """Aggregate anchors into a per-target alias shortlist: the ``top_k``
+    most frequent anchor texts per dst_url with support >= ``min_support``.
+    Output (dst_url, alias, support, rank) feeds the X6 alias dictionary
+    (extract/mentions.py) — two-phase count + a bounded window."""
+    freq = anchors.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").alias("support")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_url").orderBy(
+        F.desc("support"), F.col("anchor_text")
+    )
+    return (
+        freq.where(F.col("support") >= min_support)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .withColumnRenamed("anchor_text", "alias")
+    )

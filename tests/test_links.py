@@ -61,3 +61,31 @@ def test_host_pagerank_composes(spark):
     }
     assert ranks["hub.example"] > ranks["a.example"] > ranks["b.example"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_anchor_text_alias_candidates(spark):
+    from kgspark.extract.links import alias_candidates_from_anchors, extract_anchor_texts
+
+    page = (
+        '<a href="https://t.example/d">高血压</a>'
+        '<a href="https://t.example/d"><b>高血压</b> 详情</a>'
+        '<a href="https://t.example/d">高血压</a>'
+        '<a href="https://t.example/other">其他</a>'
+        '<a href="https://t.example/img"><img src="x.png"/></a>'  # empty anchor
+    ).encode()
+    pages = spark.createDataFrame(
+        [(f"https://s{i}.example/p", page) for i in range(2)], "url string, html binary"
+    )
+    anchors = extract_anchor_texts(pages)
+    got = {
+        (r["dst_url"], r["anchor_text"]): 1 for r in anchors.collect()
+    }
+    assert ("https://t.example/d", "高血压 详情") in got  # nested tag text kept
+    assert ("https://t.example/img", "") not in got
+
+    cands = alias_candidates_from_anchors(anchors, min_support=2, top_k=2)
+    rows = {(r["dst_url"], r["alias"]): (r["support"], r["rank"]) for r in cands.collect()}
+    # plain 高血压 appears 2x per page x 2 pages = 4; 详情 variant 2; 其他 2
+    assert rows[("https://t.example/d", "高血压")] == (4, 1)
+    assert rows[("https://t.example/d", "高血压 详情")] == (2, 2)
+    assert rows[("https://t.example/other", "其他")] == (2, 1)
