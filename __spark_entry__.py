@@ -1674,6 +1674,34 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _collocations_docs(spark, sf):
+    """Bigram collocation mining (ops/textstats.collocations): lift =
+    rational PMI core, bit-identical across engines (exact integer
+    products, one double division)."""
+    from kgspark.ops.textstats import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=5)
+
+
+_COLLOCATIONS_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT u.x AS w, count(*) AS n FROM t, unnest(ts) AS u(x) GROUP BY 1),
+tot AS (SELECT sum(n) AS n_total FROM uni),
+bi AS (
+  SELECT ts[CAST(r.i AS INT)] AS w1, ts[CAST(r.i AS INT) + 1] AS w2, count(*) AS n_ab
+  FROM t, unnest(range(1, len(ts))) AS r(i)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, n_ab,
+       CAST(n_ab * (SELECT n_total FROM tot) AS DOUBLE) / (a.n * b.n) AS lift
+FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
+"""
+
+
 def _chunk_docs(spark, sf):
     """Sliding-window chunking (ops/textstats.chunk_documents): map-only
     JVM expression, one row per 200-char window advancing by 150."""
@@ -2084,6 +2112,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _degree_histogram,
         "approx_quantile_sampled": _approx_quantile_sampled,
         "chunk_docs": _chunk_docs,
+        "collocations_docs": _collocations_docs,
         "redact_pii_docs": _redact_pii_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
@@ -2168,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": _DEGREE_HIST_SQL,
         "approx_quantile_sampled": _APPROX_QUANTILE_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "collocations_docs": _COLLOCATIONS_SQL,
         "redact_pii_docs": _REDACT_PII_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

@@ -185,3 +185,60 @@ def redact_pii(text: Column) -> Column:
     for pat, repl in _PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining: (w1, w2, n_ab, lift) where lift =
+    P(w1,w2) / (P(w1) P(w2)) — the monotone rational core of PMI (log
+    omitted deliberately: ranking is unchanged, and integer-product-over-
+    integer division is one correctly-rounded double op, so results are
+    bit-identical across engines — same reasoning as the TF-IDF-style
+    scorer in __spark_entry__). High-lift bigrams are phrase candidates:
+    multiword entity surface forms for the alias dictionary (X6) and
+    tokenizer vocab growth.
+
+    Plan: tokens via lower+regexp split (map-only), adjacent pairs by
+    JVM-side arrays_zip of the token array with itself shifted, two-phase
+    counts for bigrams and unigrams, then two joins against the unigram
+    table (corpus-vocabulary-sized — Zipf makes it small relative to the
+    corpus; AQE picks broadcast when it fits).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: F.length(t) >= 2
+    )
+    pairs = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    n_total = F.broadcast(uni.agg(F.sum("n").alias("n_total")))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab")).where(
+        F.col("n_ab") >= min_count
+    )
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .crossJoin(n_total)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -442,3 +442,18 @@ def test_redact_pii(spark):
     got = [r["t"] for r in df.select(redact_pii(F.col("text")).alias("t")).collect()]
     assert got[0] == "contact <EMAIL> or <PHONE> now"
     assert got[1] == "no pii here"
+
+
+def test_collocations_lift(spark):
+    from kgspark.ops.textstats import collocations
+
+    df = spark.createDataFrame(
+        [("new york is big",), ("new york wins",), ("a new day",), ("york here",)],
+        "text string",
+    )
+    got = {(r["w1"], r["w2"]): (r["n_ab"], r["lift"]) for r in
+           collocations(df, min_count=2).collect()}
+    # "new york" twice; unigrams: new=3, york=3, total tokens(len>=2)=11
+    assert got[("new", "york")][0] == 2
+    assert abs(got[("new", "york")][1] - (2 * 11) / (3 * 3)) < 1e-12
+    assert ("york", "is") not in got  # below min_count
