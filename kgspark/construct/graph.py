@@ -30,7 +30,7 @@ from __future__ import annotations
 from functools import reduce
 from itertools import chain
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -130,6 +130,35 @@ def edges_from_triples(triples: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["src_id", "rel", "dst_id"])
     )
+
+
+def edges_with_provenance(doc_triples: DataFrame, max_urls: int = 3) -> DataFrame:
+    """A2 with provenance kept: (src_id, rel, dst_id, support, sample_urls)
+    — support = number of (document, extraction) assertions behind the
+    edge, sample_urls = up to ``max_urls`` lexicographically-first source
+    urls (deterministic; bounded per-group state, NOT collect_set of a
+    corpus-scale url list). Support is the edge-confidence signal (threshold
+    low-support edges before publishing) and the samples are the audit
+    trail; the plain ``edges_from_triples`` stays the lean default when
+    neither is needed.
+    """
+    keyed = doc_triples.select(
+        entity_id(F.col("subj_type"), F.col("subj")).alias("src_id"),
+        F.col("pred").alias("rel"),
+        entity_id(F.col("obj_type"), F.col("obj")).alias("dst_id"),
+        "url",
+    )
+    key = ["src_id", "rel", "dst_id"]
+    support = keyed.groupBy(*key).agg(F.count("*").alias("support"))
+    w = Window.partitionBy(*key).orderBy("url")
+    samples = (
+        keyed.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_urls)
+        .groupBy(*key)
+        .agg(F.sort_array(F.collect_list("url")).alias("sample_urls"))
+    )
+    return support.join(samples, key)
 
 
 def build_graph(

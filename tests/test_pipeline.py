@@ -279,3 +279,21 @@ def test_corpus_cardinality_from_lineage(spark, tmp_path):
     # not inflate the estimate
     run_pipeline(spark, pages, out, n_buckets=8, run_id="r2", run_seq=2)
     assert corpus_url_cardinality(spark, out) == est
+
+
+def test_edges_with_provenance(spark):
+    """Support counts every assertion; sample_urls are the deterministic
+    lexicographic-first urls, capped (bounded per-group state)."""
+    from kgspark.construct.graph import edges_with_provenance, entity_id
+
+    rows = [(f"u{i % 5}", "甲", "Disease", "REL", "乙", "Symptom") for i in range(9)]
+    rows.append(("ux", "甲", "Disease", "OTHER", "丙", "Drug"))
+    dt = spark.createDataFrame(
+        rows, "url string, subj string, subj_type string, pred string, obj string, obj_type string"
+    )
+    got = {
+        (r["rel"]): (r["support"], r["sample_urls"])
+        for r in edges_with_provenance(dt, max_urls=3).collect()
+    }
+    assert got["REL"] == (9, ["u0", "u1", "u2"])  # 9 assertions, 5 distinct urls capped at 3
+    assert got["OTHER"] == (1, ["ux"])
