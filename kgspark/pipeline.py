@@ -145,9 +145,24 @@ def graph_stage(
     out_dir: str,
     n_buckets: int = 64,
     canonicalize: bool = True,
+    min_support: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Stage 2: triple store -> canonicalized, deduplicated graph tables."""
+    """Stage 2: triple store -> canonicalized, deduplicated graph tables.
+
+    ``min_support``: keep only assertions whose (subj, pred, obj) was
+    extracted from at least this many documents — the provenance-count
+    noise gate (single-document extraction errors disappear; repeated
+    facts survive). Applied BEFORE canonicalization so spurious surface
+    forms don't seed alias components either.
+    """
     triples = spark.read.parquet(f"{out_dir}/doc_triples").drop("bucket")
+    if min_support and min_support > 1:
+        key = ["subj", "subj_type", "pred", "obj", "obj_type"]
+        support = (
+            triples.groupBy(*key).agg(F.count("*").alias("n_sup"))
+            .where(F.col("n_sup") >= min_support).drop("n_sup")
+        )
+        triples = triples.join(support, key, "left_semi")
     if canonicalize:
         names = (
             triples.select(F.col("subj_type").alias("label"), F.col("subj").alias("name"))
@@ -178,11 +193,12 @@ def run_pipeline(
     run_seq: int = 0,
     resume: bool = True,
     canonicalize: bool = True,
+    min_support: int | None = None,
 ) -> PipelineResult:
     processed, skipped = extract_stage(
         spark, pages, out_dir, n_buckets, run_id, run_seq, resume
     )
-    nodes, edges = graph_stage(spark, out_dir, n_buckets, canonicalize)
+    nodes, edges = graph_stage(spark, out_dir, n_buckets, canonicalize, min_support)
     lin = spark.read.parquet(f"{out_dir}/lineage")
     latest = lin.groupBy("bucket").agg(
         F.max_by(F.struct("n_docs", "n_triples"), "run_seq").alias("s")

@@ -297,3 +297,19 @@ def test_edges_with_provenance(spark):
     }
     assert got["REL"] == (9, ["u0", "u1", "u2"])  # 9 assertions, 5 distinct urls capped at 3
     assert got["OTHER"] == (1, ["ux"])
+
+
+def test_min_support_noise_gate(spark, tmp_path):
+    """min_support=2 drops facts asserted by a single document while
+    keeping facts repeated across documents (fixture docs share their
+    hot-symptom sentences; each doc also has unique assertions)."""
+    from kgspark import fixtures
+    from kgspark.pipeline import run_pipeline
+
+    pages = fixtures.web_pages_df(spark, 300)
+    out_a, out_b = str(tmp_path / "all"), str(tmp_path / "gated")
+    res_all = run_pipeline(spark, pages, out_a, n_buckets=4)
+    res_gated = run_pipeline(spark, pages, out_b, n_buckets=4, min_support=2)
+    e_all = spark.read.parquet(f"{out_a}/edges").count()
+    e_gated = spark.read.parquet(f"{out_b}/edges").count()
+    assert 0 < e_gated < e_all
