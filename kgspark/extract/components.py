@@ -215,3 +215,29 @@ def apply_canonicalization(
         )
     )
     return out.drop("subj_canon", "obj_canon")
+
+
+def merge_components(existing: DataFrame, new_edges: DataFrame, src: str = "src",
+                     dst: str = "dst", **cc_kwargs) -> DataFrame:
+    """Incremental CC maintenance: fold a batch of NEW edges into an
+    existing (id, component) labeling without re-deriving the original
+    edge list (the expensive part — alias-similarity generation over the
+    whole dictionary).
+
+    Standard reduction: each existing label IS an edge (id ~ component),
+    so CC over (labeling-as-edges ∪ new_edges) yields exactly the
+    labeling of the union graph — min-id labels compose because the old
+    component id is itself the min member id, so the re-run can only keep
+    or lower labels. Input size is |V| + |batch| rows, vs |E_original| +
+    |batch| for a full rebuild, and no upstream recomputation.
+    Equivalence to the full rebuild is property-tested.
+    """
+    as_edges = existing.select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    batch = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    merged = connected_components(as_edges.unionByName(batch), **cc_kwargs)
+    # nodes that were their own singleton component (and untouched by the
+    # batch) don't appear in any edge — union them back unchanged
+    untouched = existing.join(merged.select("id"), "id", "left_anti")
+    return merged.unionByName(untouched)

@@ -177,3 +177,33 @@ def test_join_tier_equals_trie_tier(spark):
     join = {tuple(r) for r in detect_mentions_join(pages, alias_df).collect()}
     assert join == trie
     assert ("u2", "aa", "X", "aa", 2) in join  # overlaps counted
+
+
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_merge_components_equals_full_recompute(spark, threshold):
+    """Incremental maintenance == CC over the union graph, on both physical
+    paths, including batches that BRIDGE two existing components and
+    singleton nodes untouched by the batch."""
+    base_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)]
+    batch = [(3, 10), (40, 41)]  # bridge {1,2,3}+{10,11}; brand-new pair
+    df_base = spark.createDataFrame(base_edges, "src long, dst long")
+    df_batch = spark.createDataFrame(batch, "src long, dst long")
+
+    existing = components.connected_components(
+        df_base, local_threshold=threshold
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in components.merge_components(
+            existing, df_batch, local_threshold=threshold
+        ).collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in components.connected_components(
+            df_base.unionByName(df_batch), local_threshold=threshold
+        ).collect()
+    }
+    # the self-loop singleton 30 only exists in the incremental view (full
+    # CC of the union still sees its self-edge) — compare on shared keys
+    assert inc == full
