@@ -1674,6 +1674,62 @@ FROM kept
 _KMV_DISTINCT_SQL = _kmv_sql()
 
 
+def _negative_samples_kg(spark, sf):
+    """Deterministic negative sampling (ops/kg_sampling.py) over a
+    name-keyed nation->IN_REGION->region graph: candidate destination =
+    node at dense index md5(salt|edge|trial) mod |V|, true edges
+    anti-joined away. Name keys (not xxhash64 ids) so the DuckDB oracle
+    replays the draw bit-for-bit via a bigint strpos digit expansion."""
+    from kgspark.ops.kg_sampling import negative_samples
+
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    edges = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("src_id"),
+        F.lit("IN_REGION").alias("rel"),
+        F.col("r_name").alias("dst_id"),
+    )
+    nodes = (
+        edges.select(F.col("src_id").alias("entity_id"))
+        .union(edges.select("dst_id"))
+        .distinct()
+    )
+    return negative_samples(edges, nodes, n_per_positive=2)
+
+
+def _neg_samples_sql() -> str:
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH edges AS (
+  SELECT n_name AS src_id, 'IN_REGION' AS rel, r_name AS dst_id
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS (SELECT src_id AS cand FROM edges UNION SELECT dst_id FROM edges),
+idx AS (SELECT cand, row_number() OVER (ORDER BY cand) - 1 AS idx FROM nodes),
+nn AS (SELECT count(*) AS n FROM nodes),
+trials AS (
+  SELECT src_id, rel, dst_id, t.i AS trial,
+         md5(concat_ws('|', 'neg-v1', src_id, rel, dst_id, CAST(t.i AS VARCHAR))) AS h
+  FROM edges, unnest(range(0, 2)) AS t(i)
+),
+hashed AS (SELECT src_id, rel, dst_id, trial,
+                  ({expansion}) % (SELECT n FROM nn) AS idx
+           FROM trials),
+neg AS (SELECT h.src_id, h.rel, i.cand AS neg_dst_id, h.trial
+        FROM hashed h JOIN idx i USING (idx))
+SELECT n.src_id, n.rel, n.neg_dst_id, n.trial
+FROM neg n LEFT JOIN edges e
+  ON n.src_id = e.src_id AND n.rel = e.rel AND n.neg_dst_id = e.dst_id
+WHERE e.src_id IS NULL
+"""
+
+
+_NEG_SAMPLES_SQL = _neg_samples_sql()
+
+
 def _collocations_docs(spark, sf):
     """Bigram collocation mining (ops/textstats.collocations): lift =
     rational PMI core, bit-identical across engines (exact integer
@@ -2113,6 +2169,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_sampled": _approx_quantile_sampled,
         "chunk_docs": _chunk_docs,
         "collocations_docs": _collocations_docs,
+        "negative_samples_kg": _negative_samples_kg,
         "redact_pii_docs": _redact_pii_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
@@ -2198,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantile_sampled": _APPROX_QUANTILE_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "collocations_docs": _COLLOCATIONS_SQL,
+        "negative_samples_kg": _NEG_SAMPLES_SQL,
         "redact_pii_docs": _REDACT_PII_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

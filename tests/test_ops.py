@@ -457,3 +457,38 @@ def test_collocations_lift(spark):
     assert got[("new", "york")][0] == 2
     assert abs(got[("new", "york")][1] - (2 * 11) / (3 * 3)) < 1e-12
     assert ("york", "is") not in got  # below min_count
+
+
+def test_negative_samples_properties(spark):
+    """Negatives are never true edges, are deterministic across
+    partitionings, bounded per positive, and a salt change redraws."""
+    from kgspark.ops.kg_sampling import negative_samples
+
+    nodes = spark.createDataFrame(
+        [(i, "L", f"n{i}", {}) for i in range(20)],
+        "entity_id long, label string, name string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(i, "R", (i + 1) % 20) for i in range(20)],
+        "src_id long, rel string, dst_id long",
+    )
+    neg = negative_samples(edges, nodes, n_per_positive=3)
+    rows = neg.collect()
+    true = {(r["src_id"], r["rel"], r["dst_id"]) for r in edges.collect()}
+    assert rows and all(
+        (r["src_id"], r["rel"], r["neg_dst_id"]) not in true for r in rows
+    )
+    per_pos = {}
+    for r in rows:
+        per_pos[(r["src_id"], r["rel"])] = per_pos.get((r["src_id"], r["rel"]), 0) + 1
+    assert max(per_pos.values()) <= 3
+
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, negative_samples(edges.repartition(7), nodes.repartition(3),
+                                    n_per_positive=3).collect())
+    )
+    assert a == b  # partitioning-invariant
+    c = sorted(map(tuple, negative_samples(edges, nodes, n_per_positive=3,
+                                           salt="neg-v2").collect()))
+    assert c != a  # salt rotates the draw
