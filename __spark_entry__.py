@@ -1159,19 +1159,24 @@ def _f_higher_order(spark, sf):
     tokens = F.split(norm, " ")
     return d.select(
         "doc_id",
-        F.size(tokens).alias("n_tokens"),
-        F.aggregate(tokens, F.lit(0), lambda acc, x: acc + F.length(x)).alias("sum_chars"),
-        F.size(F.filter(tokens, lambda x: F.length(x) > 5)).alias("n_long"),
-        F.array_max(F.transform(tokens, lambda x: F.length(x))).alias("max_len"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.aggregate(
+            tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_chars"),
+        F.size(F.filter(tokens, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.array_max(F.transform(tokens, lambda x: F.length(x))).cast("long").alias("max_len"),
     )
 
 
+# every computed column CAST to BIGINT: DuckDB len() is BIGINT and list_sum
+# HUGEINT while Spark size()/aggregate-with-int-seed are INT — values equal,
+# hashes differ without the casts (round-1 driver hash-fail).
 _F_HIGHER_ORDER_SQL = """
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       list_sum(list_transform(toks, x -> length(x))) AS sum_chars,
-       len(list_filter(toks, x -> length(x) > 5)) AS n_long,
-       list_max(list_transform(toks, x -> length(x))) AS max_len
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_chars,
+       CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_len
 FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents WHERE text IS NOT NULL)
 """

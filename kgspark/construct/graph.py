@@ -246,10 +246,19 @@ def merge_into_graph(
 
     Cost model at 100 TB: a batch touching K of N buckets reads and rewrites
     K/N of the node/edge tables; the untouched partitions are never scanned
-    (partition pruning on the bucket column) and never rewritten (dynamic
-    overwrite). A daily crawl increment is ~10^-3 of the corpus, so this is
-    ~1000x cheaper than the full ``build_graph`` recompute — equivalence to
-    the full rebuild is asserted in tests.
+    (partition pruning on the bucket column) and never rewritten. A daily
+    crawl increment is ~10^-3 of the corpus, so this is ~1000x cheaper than
+    the full ``build_graph`` recompute — equivalence to the full rebuild is
+    asserted in tests.
+
+    Durability: merged buckets are STAGED to a ``._merge`` temp subdir and
+    swapped in per bucket only after the write job succeeds — the live
+    table is never the write target of a job that is also reading it, and
+    a failure before the swap leaves the table untouched. The swap itself
+    is per-bucket (not one atomic pointer flip); a driver crash mid-swap
+    leaves a mixed table but with the staged data intact on disk for
+    recovery. Crash-sensitive / concurrent callers should layer
+    ``publish_graph`` (atomic ``_CURRENT`` pointer) on top.
 
     Returns {"affected_buckets": K, "n_buckets": N}.
     """
@@ -288,12 +297,11 @@ def merge_into_graph(
         "label", "name", "props", F.lit(0).cast("long").alias("seq")
     )
     merged_nodes = canonicalize_nodes(old_as_records.unionByName(new_records))
-    (
-        merged_nodes.withColumn("bucket", bucket_of(F.col("entity_id")))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(f"{out_dir}/nodes")
+    _staged_bucket_swap(
+        spark,
+        merged_nodes.withColumn("bucket", bucket_of(F.col("entity_id"))),
+        f"{out_dir}/nodes",
+        affected,
     )
 
     new_edges = edges_from_triples(triples)
@@ -307,14 +315,36 @@ def merge_into_graph(
     merged_edges = old_edges.unionByName(new_edges).dropDuplicates(
         ["src_id", "rel", "dst_id"]
     )
-    (
-        merged_edges.withColumn("bucket", bucket_of(F.col("src_id")))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(f"{out_dir}/edges")
+    _staged_bucket_swap(
+        spark,
+        merged_edges.withColumn("bucket", bucket_of(F.col("src_id"))),
+        f"{out_dir}/edges",
+        edge_buckets,
     )
     return {"affected_buckets": len(set(affected) | set(edge_buckets)), "n_buckets": n_buckets}
+
+
+def _staged_bucket_swap(spark, df, table_path: str, buckets: list[int]) -> None:
+    """Write ``df`` (bucket-partitioned) to ``<table>._merge`` and swap the
+    listed bucket directories into the live table. The live path is never a
+    concurrent read+write target, and nothing is removed until the full
+    staged write has committed. Per-bucket swap, not atomic — see
+    ``merge_into_graph`` docstring."""
+    import shutil
+    from pathlib import Path
+
+    staged = f"{table_path}._merge"
+    (
+        df.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    )
+    for b in buckets:
+        src = Path(staged) / f"bucket={b}"
+        dst = Path(table_path) / f"bucket={b}"
+        if dst.exists():
+            shutil.rmtree(dst)
+        if src.exists():  # a bucket can merge to empty only if it was empty
+            shutil.move(str(src), str(dst))
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def compact_graph(spark, out_dir: str) -> dict:

@@ -145,6 +145,14 @@ def _extract_text_fast(s: str) -> str | None:
             # quotes must pair up, else the real tag swallowed a '>' we split on
             if attrs.count("'") % 2 or attrs.count('"') % 2:
                 return None
+        if selfclose and not closing and attrs and not (
+            attrs[-1].isspace() or attrs[-1] in "\"'"
+        ):
+            # '<p att=x/>': html.parser folds the '/' into the unquoted
+            # attribute value and emits a START tag; our regex split it off as
+            # self-closing. Only a '/' preceded by whitespace or a closing
+            # quote is unambiguously self-closing — anything else delegates.
+            return None
         pos = m.end()
         starts = [] if closing else [tag]
         ends = [tag] if (closing or selfclose) else []

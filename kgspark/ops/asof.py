@@ -7,8 +7,10 @@ JOIN``, pandas ``merge_asof``).
 
 Physical strategy (scale-first, no Python): the classic union trick.
 Left and right rows are interleaved into ONE stream keyed by the join key;
-a single window ``last(value, ignorenulls=True)`` ordered by (ts, side)
-carries the latest right-row values forward onto each left row.
+a single window ``last(struct, ignorenulls=True)`` ordered by (ts, side)
+carries the latest right ROW (all its columns as one non-null struct)
+forward onto each left row, so null field values in the matched row are
+preserved rather than back-filled from older rows.
 
 - ONE shuffle (hash by key) + ONE sort per partition — exactly the cost of a
   sort-merge join, with no join explosion: a key with L left rows and R right
@@ -71,20 +73,26 @@ def asof_join(
             F.col(on).alias(on), F.col(right_ts).alias("_ts"), *right_cols
         )
 
+    # Carry ALL right columns as ONE struct. The struct wrapper is non-null on
+    # every right row even when its fields are null, so a single
+    # last(ignorenulls=True) picks the most recent right ROW — a genuine NULL
+    # in the matched row survives, and columns are never stitched from
+    # different right rows (per-column carry gets both wrong).
+    r_struct_type = r.select(F.struct(*right_cols).alias("_rv")).schema["_rv"].dataType
     carry = [c for c in left.columns if c not in (on, left_ts)]
     l_tagged = left.select(
         F.col(on).alias(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in carry],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_rv"),
     )
     r_tagged = r.select(
         F.col(on).alias(on),
         F.col("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in carry],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*right_cols).alias("_rv"),
     )
     w = (
         Window.partitionBy(on)
@@ -96,7 +104,7 @@ def asof_join(
         "_ts",
         "_side",
         *[F.col(f"_l_{c}") for c in carry],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     out = [
         F.col(on) if c == on else F.col("_ts").alias(left_ts) if c == left_ts
@@ -104,7 +112,7 @@ def asof_join(
         for c in left.columns
     ]
     return carried.filter(F.col("_side") == 1).select(
-        *out, *[F.col(f"_r_{c}").alias(c) for c in right_cols]
+        *out, *[F.col(f"_rv.{c}").alias(c) for c in right_cols]
     )
 
 

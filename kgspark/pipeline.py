@@ -158,8 +158,11 @@ def graph_stage(
     triples = spark.read.parquet(f"{out_dir}/doc_triples").drop("bucket")
     if min_support and min_support > 1:
         key = ["subj", "subj_type", "pred", "obj", "obj_type"]
+        # distinct docs, not assertion rows: one document repeating a triple
+        # must not satisfy the gate (it exists to kill single-document errors)
         support = (
-            triples.groupBy(*key).agg(F.count("*").alias("n_sup"))
+            triples.select(*key, "url").distinct()
+            .groupBy(*key).agg(F.count("*").alias("n_sup"))
             .where(F.col("n_sup") >= min_support).drop("n_sup")
         )
         triples = triples.join(support, key, "left_semi")

@@ -50,6 +50,12 @@ def _parse_warc_bytes(raw: bytes) -> Iterator[dict]:
     resource records carry page payloads; request/metadata/warcinfo records
     are skipped. For `response` records the payload is an HTTP message: the
     status line + headers are stripped so `html` is the entity body alone.
+
+    Corruption (truncated trailer, lost record sync, missing/unparseable
+    Content-Length, payload shorter than Content-Length) raises ValueError —
+    the caller's ``on_error`` policy decides whether that fails the task or
+    quarantines the file; silent stop would make data loss invisible in
+    BOTH modes.
     """
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
@@ -62,11 +68,11 @@ def _parse_warc_bytes(raw: bytes) -> Iterator[dict]:
             return
         head_end = raw.find(b"\r\n\r\n", pos)
         if head_end < 0:
-            return  # truncated trailer
+            raise ValueError(f"truncated WARC header block at byte {pos}")
         header_block = raw[pos:head_end].decode("utf-8", errors="replace")
         lines = header_block.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            return  # lost sync — stop rather than mis-attribute payloads
+            raise ValueError(f"lost WARC record sync at byte {pos}")
         fields: dict[str, str] = {}
         for line in lines[1:]:
             k, sep, v = line.partition(":")
@@ -75,7 +81,11 @@ def _parse_warc_bytes(raw: bytes) -> Iterator[dict]:
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            return
+            raise ValueError(
+                f"missing/unparseable Content-Length in WARC record at byte {pos}"
+            ) from None
+        if head_end + 4 + length > n:
+            raise ValueError(f"truncated WARC payload at byte {head_end + 4}")
         body = raw[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         rtype = fields.get("warc-type", "")
@@ -111,14 +121,15 @@ def read_warc(
     keeping the scan schema identical to the synthetic corpus means the
     whole pipeline (pipeline.run_pipeline) runs off real archives unchanged.
 
-    ``on_error``: "fail" (default) propagates parse/decompress errors and
-    fails the task — right for curated archives where a bad file means a
-    bad copy. "skip" quarantines at FILE granularity (a crawl dump at
-    10^4+ files routinely has a few truncated ones; one bad archive must
-    not kill a 10^12-doc job): the corrupt file contributes zero rows and
-    records should be re-fetched out of band. Records already yielded
-    before the corruption point are kept — WARC streams are
-    record-delimited, so a truncated tail invalidates only the tail.
+    ``on_error``: "fail" (default) propagates parse/decompress errors —
+    including mid-stream corruption raised by ``_parse_warc_bytes`` — and
+    fails the task: right for curated archives where a bad file means a
+    bad copy. "skip" quarantines the corrupt TAIL of a file (a crawl dump
+    at 10^4+ files routinely has a few truncated ones; one bad archive
+    must not kill a 10^12-doc job): records already parsed before the
+    corruption point are kept — WARC streams are record-delimited, so a
+    truncated tail invalidates only the tail — and the rest should be
+    re-fetched out of band.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")

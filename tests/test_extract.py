@@ -61,6 +61,16 @@ _ADVERSARIAL_HTML = [
     b"</ p><p>sp</p>",
     b"<my-tag><p>custom</p></my-tag>",
     b"\xff\xfe<p>bad utf8 \xc3</p>",
+    # unquoted attribute value ending in '/': html.parser folds the '/' into
+    # the value and emits a START tag, not a self-closing one (ADVICE r1)
+    b"<p att=x/>y</p>",
+    b"<p att=http://e.com/>y</p>",
+    b"<li att=a/>z</li>",
+    b"<p att=x />spaced</p>",
+    b'<p att="x"/>quoted</p>',
+    b"<p att='x'/>quoted2</p>",
+    b"<br att=x/><p>after</p>",
+    b"<p disabled/>bare</p>",
 ]
 
 
@@ -85,6 +95,7 @@ def test_fast_extractor_equals_reference_fuzz():
         "&", "<", ">", "<!-- c -->", "<!doctype html>", "<?pi?>", "<div>", "</div>",
         '<p a="x>y">', "</p attr>", "<br/>", "<script>var a<b;</script>",
         "abc<def", "<script src='u'>", "</ p>", "<my-tag>", "<p  >", "'", '"', "\n",
+        "<p att=x/>", "<p att=u/v/>", "<li att=x />", '<p att="x"/>', "<td a=1/>",
     ]
     n_fast = 0
     for _ in range(5000):

@@ -217,6 +217,27 @@ def test_asof_join_semantics(spark):
     assert out["e4"] is None    # key with no right rows at all
 
 
+def test_asof_join_null_right_values_survive(spark):
+    """A NULL value in the matched (most recent) right row must survive —
+    not be back-filled from an older right row — and multiple right columns
+    must all come from the SAME matched row (ADVICE r1: per-column
+    last(ignorenulls) stitched columns from different rows)."""
+    from kgspark.ops.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame([(1, 20, "e1"), (1, 7, "e0")], "k long, ts long, ev string")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "a"), (1, 15, None, "b"), (1, 18, 300.0, None)],
+        "k long, rts long, price double, tag string",
+    )
+    kw = dict(on="k", left_ts="ts", right_ts="rts", right_cols=["price", "tag"])
+    for tier in (asof_join, asof_join_broadcast):
+        out = {r["ev"]: (r["price"], r["tag"]) for r in tier(left, right, **kw).collect()}
+        # e1 matches rts=18: price=300.0, tag=NULL (not 'b' from rts=15)
+        assert out["e1"] == (300.0, None), (tier.__name__, out)
+        # e0 matches rts=5: both non-null
+        assert out["e0"] == (100.0, "a"), (tier.__name__, out)
+
+
 def test_asof_join_property_vs_merge_asof(spark):
     """Property check: asof_join == pandas merge_asof (backward, inclusive)
     on deterministic pseudo-random instances with duplicate left timestamps,

@@ -313,3 +313,39 @@ def test_min_support_noise_gate(spark, tmp_path):
     e_all = spark.read.parquet(f"{out_a}/edges").count()
     e_gated = spark.read.parquet(f"{out_b}/edges").count()
     assert 0 < e_gated < e_all
+
+
+def test_min_support_counts_distinct_docs_not_rows(spark, tmp_path):
+    """A single document repeating the same triple must NOT satisfy
+    min_support=2 (ADVICE r1: the gate counts distinct source docs, not
+    assertion rows); the same triple from two docs must."""
+    import pandas as pd
+
+    from kgspark.pipeline import graph_stage
+
+    rows = [
+        # one doc asserts (A, REL, B) twice -> support must be 1
+        {"url": "u1", "subj": "A", "subj_type": "Disease", "pred": "REL",
+         "obj": "B", "obj_type": "Disease", "bucket": 0},
+        {"url": "u1", "subj": "A", "subj_type": "Disease", "pred": "REL",
+         "obj": "B", "obj_type": "Disease", "bucket": 0},
+        # two docs assert (C, REL, D) once each -> support 2, survives
+        {"url": "u1", "subj": "C", "subj_type": "Disease", "pred": "REL",
+         "obj": "D", "obj_type": "Disease", "bucket": 0},
+        {"url": "u2", "subj": "C", "subj_type": "Disease", "pred": "REL",
+         "obj": "D", "obj_type": "Disease", "bucket": 1},
+    ]
+    out = str(tmp_path / "g")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(f"{out}/doc_triples")
+    _, edges = graph_stage(spark, out, n_buckets=4, canonicalize=False, min_support=2)
+    from kgspark.construct.graph import entity_id
+    from pyspark.sql import functions as F
+
+    kept = spark.read.parquet(f"{out}/edges")
+    names = spark.createDataFrame(
+        [("Disease", n) for n in "ABCD"], "label string, name string"
+    ).select("name", entity_id(F.col("label"), F.col("name")).alias("eid"))
+    ids = {r["name"]: r["eid"] for r in names.collect()}
+    got = {(r["src_id"], r["dst_id"]) for r in kept.collect()}
+    assert (ids["C"], ids["D"]) in got
+    assert (ids["A"], ids["B"]) not in got

@@ -107,6 +107,41 @@ def test_warc_corrupt_file_quarantine(spark, tmp_path):
         read_warc(spark, str(tmp_path), on_error="quarantine")
 
 
+def test_warc_midstream_corruption_raises_not_silent(spark, tmp_path):
+    """Mid-stream corruption (truncated tail, lost sync, bad Content-Length)
+    must raise under on_error='fail' — a silent stop would make data loss
+    invisible (ADVICE r1). Under 'skip', records before the corruption
+    point are kept; the corrupt tail contributes nothing."""
+    import pytest as _pytest
+
+    from kgspark.sources.warc import _parse_warc_bytes
+
+    docs = _docs(4)
+    write_synthetic_warc(str(tmp_path / "t.warc"), docs, gzip_members=False)
+    raw = (tmp_path / "t.warc").read_bytes()
+
+    # truncated tail: cut inside the last record's payload
+    truncated = raw[: len(raw) - 40]
+    with _pytest.raises(ValueError):
+        list(_parse_warc_bytes(truncated))
+    # lost sync: garbage spliced where a record header should start
+    lost_sync = raw + b"NOT-A-WARC-HEADER\r\n\r\npayload"
+    with _pytest.raises(ValueError, match="sync"):
+        list(_parse_warc_bytes(lost_sync))
+    # unparseable Content-Length
+    bad_len = raw.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    with _pytest.raises(ValueError, match="Content-Length"):
+        list(_parse_warc_bytes(bad_len))
+
+    # on_error='fail' propagates; 'skip' keeps the valid prefix records
+    (tmp_path / "t.warc").write_bytes(truncated)
+    with _pytest.raises(Exception):
+        read_warc(spark, str(tmp_path), on_error="fail").count()
+    kept = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert 0 < len(kept) < 4
+    assert {r["url"] for r in kept} <= {u for u, _, _ in docs}
+
+
 def test_warc_fuzz_roundtrip(spark, tmp_path):
     """Property: any (url, ts, payload) docs — including payloads containing
     WARC header markers, CRLF runs, and gzip magic — round-trip exactly.
