@@ -2097,57 +2097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver evaluates the first 50 keys. Round 1 verified
+    # keys q1_pricing_summary..percentile_stats (green rows in
+    # CORRECTNESS_r01.json); this round fronts every entry that has no driver
+    # row yet (plus the re-fixed f_higher_order), so that r01+r02 together
+    # cover the whole registry. Already-green entries rotate behind them.
     return {
-        "q1_pricing_summary": _q1_pricing_summary,
-        "s1_scan_projection": _s1_scan_projection,
-        "p2_rename_projection": _p2_rename_projection,
-        "p3_blank_filter": _p3_blank_filter,
-        "p5_contains_filter": _p5_contains_filter,
-        "p8_json_cast_filter": _p8_json_cast_filter,
-        "e1_explode_tokens": _e1_explode_tokens,
-        "e4_bigram_triples": _e4_bigram_triples,
-        "a1_lww_canonicalize": _a1_lww_canonicalize,
-        "a2_distinct_dedup": _a2_distinct_dedup,
-        "a3_collect_set_str": _a3_collect_set_str,
-        "kg_nodes_tpch": _kg_nodes_tpch,
-        "kg_edges_tpch": _kg_edges_tpch,
-        "j2_onehop_expand": _j2_onehop_expand,
-        "j3_reverse_join": _j3_reverse_join,
-        "j4_twohop_bfs": _j4_twohop_bfs,
-        "j5_contains_join": _j5_contains_join,
-        "u1_union_by_name": _u1_union_by_name,
-        "w1_hash_sample": _w1_hash_sample,
-        "w2_topk_limit": _w2_topk_limit,
-        "w3_topk_per_group": _w3_topk_per_group,
-        "w4_renumber": _w4_renumber,
-        "p6_rlike_filter": _p6_rlike_filter,
-        "f_string_funcs": _f_string_funcs,
-        "f7_from_json": _f7_from_json,
-        "f8_to_json": _f8_to_json,
-        "x6_mentions": _x6_mentions,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "dedup_exact": _dedup_exact,
-        "fingerprint_md5": _fingerprint_md5,
-        "lang_id": _lang_id,
-        "token_stats": _token_stats,
-        "quality_score": _quality_score,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "curation_pipeline": _curation_pipeline,
-        "embedding_neardup": _embedding_neardup,
-        "rollup_counts": _rollup_counts,
-        "sessionize": _sessionize,
-        "stream_window_counts": _stream_window_counts,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_region_volume": _q5_region_volume,
-        "semi_anti_customers": _semi_anti_customers,
-        "set_ops_keys": _set_ops_keys,
-        "cube_events": _cube_events,
-        "window_analytics": _window_analytics,
-        "asof_join_events": _asof_join_events,
-        "range_band_join": _range_band_join,
-        "f_date_funcs": _f_date_funcs,
-        "percentile_stats": _percentile_stats,
-        "f_higher_order": _f_higher_order,
+        # --- no driver row yet (round-1 tail) + the round-1 hash-fail fix ---
         "minhash_portable_sig": _minhash_portable_sig,
         "having_agg": _having_agg,
         "pivot_events": _pivot_events,
@@ -2179,6 +2135,57 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
+        "f_higher_order": _f_higher_order,
+        # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
+        "q1_pricing_summary": _q1_pricing_summary,
+        "kg_nodes_tpch": _kg_nodes_tpch,
+        "kg_edges_tpch": _kg_edges_tpch,
+        "asof_join_events": _asof_join_events,
+        "x6_mentions": _x6_mentions,
+        "curation_pipeline": _curation_pipeline,
+        "s1_scan_projection": _s1_scan_projection,
+        "p2_rename_projection": _p2_rename_projection,
+        "p3_blank_filter": _p3_blank_filter,
+        "p5_contains_filter": _p5_contains_filter,
+        "p8_json_cast_filter": _p8_json_cast_filter,
+        "e1_explode_tokens": _e1_explode_tokens,
+        "e4_bigram_triples": _e4_bigram_triples,
+        "a1_lww_canonicalize": _a1_lww_canonicalize,
+        "a2_distinct_dedup": _a2_distinct_dedup,
+        "a3_collect_set_str": _a3_collect_set_str,
+        "j2_onehop_expand": _j2_onehop_expand,
+        "j3_reverse_join": _j3_reverse_join,
+        "j4_twohop_bfs": _j4_twohop_bfs,
+        "j5_contains_join": _j5_contains_join,
+        "u1_union_by_name": _u1_union_by_name,
+        "w1_hash_sample": _w1_hash_sample,
+        "w2_topk_limit": _w2_topk_limit,
+        "w3_topk_per_group": _w3_topk_per_group,
+        "w4_renumber": _w4_renumber,
+        "p6_rlike_filter": _p6_rlike_filter,
+        "f_string_funcs": _f_string_funcs,
+        "f7_from_json": _f7_from_json,
+        "f8_to_json": _f8_to_json,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "dedup_exact": _dedup_exact,
+        "fingerprint_md5": _fingerprint_md5,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "quality_score": _quality_score,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_neardup": _embedding_neardup,
+        "rollup_counts": _rollup_counts,
+        "sessionize": _sessionize,
+        "stream_window_counts": _stream_window_counts,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_volume": _q5_region_volume,
+        "semi_anti_customers": _semi_anti_customers,
+        "set_ops_keys": _set_ops_keys,
+        "cube_events": _cube_events,
+        "window_analytics": _window_analytics,
+        "range_band_join": _range_band_join,
+        "f_date_funcs": _f_date_funcs,
+        "percentile_stats": _percentile_stats,
     }
 
 

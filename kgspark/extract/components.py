@@ -83,10 +83,25 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 15,
     local_threshold: int = _CC_LOCAL_THRESHOLD,
+    method: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) long-id edge list -> (id, component) with component = min
     node id in the component. Convergence-checked each iteration; edge lists
-    under ``local_threshold`` run as a driver union-find (see module doc)."""
+    under ``local_threshold`` run as a driver union-find (see module doc).
+
+    ``method``:
+    - "propagation" (default): min-label propagation, one shuffle + one
+      aggregate per round, O(graph diameter) rounds. Right for the shallow
+      star-like alias graphs canonicalization produces (diameter 2-4).
+    - "star": alternating large-star/small-star contraction (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"), O(log n) rounds
+      regardless of diameter. Right for chain-heavy graphs — near-dup
+      cluster graphs are chains of pairwise-similar documents, where
+      propagation would need O(chain length) rounds.
+
+    ``stats``: pass a dict to receive {"iterations": k, "method": ...}.
+    """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # materialize the edge list once: every iteration joins against it, and
@@ -95,14 +110,22 @@ def connected_components(
     sym = sym.localCheckpoint()
     if local_threshold and sym.count() <= local_threshold:
         pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        if stats is not None:
+            stats.update({"iterations": 0, "method": "local-union-find"})
         return _local_components(edges.sparkSession, pairs)
+    if method == "star":
+        return _cc_star(sym, max_iter, stats)
+    if method != "propagation":
+        raise ValueError(f"method must be 'propagation' or 'star', got {method!r}")
     comp = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         # candidate component per node = min over neighbors' components
         nbr_min = (
             sym.join(comp.withColumnRenamed("id", "b"), "b")
@@ -124,7 +147,84 @@ def connected_components(
         comp = new_comp.drop("changed")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats.update({"iterations": iters, "method": "propagation"})
     return comp
+
+
+def _cc_star(sym: DataFrame, max_iter: int, stats: dict | None) -> DataFrame:
+    """Alternating large-star / small-star contraction over a symmetric edge
+    list. Each round rewires edges toward per-neighborhood minima, halving
+    component 'height'; at fixpoint the edge set is a union of stars whose
+    centers are the component minima. O(log n) rounds on any topology —
+    a path of length 2^k labels in ~k rounds where propagation needs 2^k.
+
+    All steps are the engine's standard shapes: groupBy-min aggregates +
+    equi-joins, canonical (a<b) pair dedup between rounds, localCheckpoint
+    per round to cut lineage. Convergence is detected with an
+    order-independent signature aggregate (count + sum of pair hashes) —
+    one tiny job per round, no driver-side edge materialization.
+    """
+    all_nodes = sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+
+    # canonical undirected pairs a<b
+    pairs = (
+        sym.filter(F.col("a") < F.col("b")).distinct().localCheckpoint()
+    )
+
+    def signature(p: DataFrame) -> tuple:
+        # bit_xor: order-independent and overflow-free under ANSI arithmetic
+        # (pairs are distinct, so xor is a faithful set fingerprint)
+        row = p.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(pairs)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: every neighbor v > u re-attaches to min(N(u) ∪ {u})
+        mins = both.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("mn"), F.col("a"))
+        large = (
+            both.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.least(F.col("b"), m).alias("a"), F.greatest(F.col("b"), m).alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        # small-star: u and every neighbor v < u re-attach to the minimum
+        lower = large.union(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).filter(F.col("b") < F.col("a"))
+        smins = lower.groupBy("a").agg(F.min("b").alias("mn"))
+        attached = lower.join(smins, "a")
+        small = (
+            attached.select(F.col("mn").alias("a"), F.col("a").alias("b"))
+            .union(
+                attached.filter(F.col("b") != F.col("mn")).select(
+                    F.col("mn").alias("a"), F.col("b").alias("b")
+                )
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(small)
+        pairs = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats.update({"iterations": iters, "method": "star"})
+    # fixpoint edge set is a union of stars: center = component min
+    leaf_label = pairs.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("center"))
+    return all_nodes.join(leaf_label, "id", "left").select(
+        "id", F.coalesce("center", F.col("id")).alias("component")
+    )
 
 
 # --- pinned normalization rules (the alias-similarity generator) -----------

