@@ -145,8 +145,38 @@ def score_candidates(mentions: DataFrame) -> DataFrame:
     ).select("alias", F.col("best.label").alias("label"), F.col("best.name").alias("name"), "support")
 
 
+_PREFIX_SET_CAP = 4096  # per-length distinct 2-char-prefix sets above this ship no filter
+
+
+def _alias_length_prefixes(
+    alias_df: DataFrame, prefix_cap: int = _PREFIX_SET_CAP
+) -> dict[int, tuple[str, ...] | None]:
+    """Per alias length: the distinct 2-char prefixes of that length's
+    aliases, or None when the set exceeds ``prefix_cap`` (filter would be
+    bigger than it is selective). One small aggregate over the dictionary;
+    the result is {length: prefixes} — bounded by lengths x cap, never by
+    dictionary size, so it ships in the plan even in the beyond-broadcast
+    regime."""
+    rows = (
+        alias_df.select(
+            F.length("alias").alias("l"),
+            F.substring("alias", 1, 2).alias("p"),
+        )
+        .filter(F.col("l") > 0)
+        .groupBy("l")
+        .agg(F.collect_set("p").alias("ps"))
+        .select("l", F.when(F.size("ps") <= prefix_cap, F.col("ps")).alias("ps"))
+        .collect()
+    )
+    return {
+        int(r["l"]): (tuple(sorted(r["ps"])) if r["ps"] is not None else None)
+        for r in rows
+    }
+
+
 def detect_mentions_join(
-    pages: DataFrame, alias_df: DataFrame, text_col: str = "text"
+    pages: DataFrame, alias_df: DataFrame, text_col: str = "text",
+    prefix_cap: int = _PREFIX_SET_CAP,
 ) -> DataFrame:
     """Beyond-broadcast tier of X6: same output contract as
     ``detect_mentions`` — (url, alias, label, name, n_hits) — for alias
@@ -156,27 +186,27 @@ def detect_mentions_join(
     Plan: explode each document into its character substrings of exactly
     the lengths present in the dictionary (JVM-side transform over an index
     sequence; the distinct-length set is tiny and collected driver-side),
-    count duplicates per document map-side, then ONE shuffle equi-join
-    against the alias table. Semantics are identical to the Aho-Corasick
-    pass by construction: every substring occurrence of every alias —
-    overlaps included — is found, because the automaton finds exactly the
-    substring occurrences.
+    prefilter each length's substrings against that length's distinct
+    2-char alias prefixes (an InSet literal — map-side, inside codegen, no
+    broadcast), count duplicates per document map-side, then ONE shuffle
+    equi-join against the alias table. Semantics are identical to the
+    Aho-Corasick pass by construction: every substring occurrence of every
+    alias — overlaps included — survives the prefilter (an alias's own
+    prefix is always in its length's prefix set), and the automaton finds
+    exactly the substring occurrences.
 
     Cost model vs the trie tier: the exploded side is
-    |distinct alias lengths| x corpus characters, partially collapsed by the
-    per-document pre-count before it shuffles; right side shuffles the
-    dictionary. Use the trie tier whenever the dictionary fits the closure
-    budget — this tier is for when it cannot. (A dictionary Bloom filter in
-    front of the join would cut the exploded side by its hit rate; Spark
-    exposes no bloom_filter_agg SQL function to compose here, so on a real
-    cluster that prefilter comes from DataSketches or a runtime row-level
-    filter.)
+    |distinct alias lengths| x corpus characters BEFORE the prefix filter;
+    the filter cuts it by the prefix hit rate (measured in SCALE.md §6)
+    before any shuffle. Per-length prefix sets above ``prefix_cap`` ship no
+    filter (a near-universal prefix set filters nothing — the cap keeps the
+    plan literal bounded); ``mention_join_stats`` audits the exploded-side
+    volume and filter selectivity per length so the cost is never silent.
+    Use the trie tier whenever the dictionary fits the closure budget —
+    this tier is for when it cannot.
     """
-    lengths = sorted(
-        r["l"]
-        for r in alias_df.select(F.length("alias").alias("l")).distinct().collect()
-        if r["l"] and r["l"] > 0
-    )
+    prefixes = _alias_length_prefixes(alias_df, prefix_cap)
+    lengths = sorted(prefixes)
     if not lengths:
         return pages.sparkSession.createDataFrame(
             [], "url string, alias string, label string, name string, n_hits long"
@@ -190,12 +220,21 @@ def detect_mentions_join(
     def _window(length: int):
         return lambda i: text.substr(i, F.lit(length))
 
+    def _with_prefix_filter(arr, length: int):
+        ps = prefixes[length]
+        if ps is None:
+            return arr
+        return F.filter(arr, lambda s: s.substr(1, 2).isin(*ps))
+
     per_len = [
-        F.transform(
-            F.when(
-                F.length(text) >= L, F.sequence(F.lit(1), F.length(text) - (L - 1))
-            ).otherwise(F.array().cast("array<int>")),
-            _window(L),
+        _with_prefix_filter(
+            F.transform(
+                F.when(
+                    F.length(text) >= L, F.sequence(F.lit(1), F.length(text) - (L - 1))
+                ).otherwise(F.array().cast("array<int>")),
+                _window(L),
+            ),
+            L,
         )
         for L in lengths
     ]
@@ -208,3 +247,34 @@ def detect_mentions_join(
     return cand.join(alias_df.select("alias", "label", "name"), "alias").select(
         "url", "alias", "label", "name", "n_hits"
     )
+
+
+def mention_join_stats(
+    pages: DataFrame, alias_df: DataFrame, text_col: str = "text",
+    prefix_cap: int = _PREFIX_SET_CAP,
+) -> DataFrame:
+    """Audit the join tier's exploded-side cost per alias length BEFORE
+    running it (the lsh_bucket_stats pattern): one row per length with the
+    substring rows that length generates, how many survive the 2-char
+    prefix prefilter, and whether the filter ships at all. Run on a corpus
+    sample when sizing a new dictionary — a length whose filtered volume
+    still dwarfs the rest means the dictionary needs splitting (short
+    aliases -> trie tier, long tail -> join tier)."""
+    prefixes = _alias_length_prefixes(alias_df, prefix_cap)
+    text = F.col(text_col)
+    docs = pages.filter(text.isNotNull()).select(F.length(text).alias("n"))
+    per_len = []
+    for L, ps in sorted(prefixes.items()):
+        raw = F.sum(F.greatest(F.col("n") - (L - 1), F.lit(0))).alias("raw_substrings")
+        per_len.append(
+            docs.agg(raw).select(
+                F.lit(L).alias("length"),
+                F.col("raw_substrings"),
+                F.lit(ps is not None).alias("prefilter_ships"),
+                F.lit(len(ps) if ps is not None else None).alias("n_prefixes"),
+            )
+        )
+    out = per_len[0]
+    for df in per_len[1:]:
+        out = out.unionByName(df)
+    return out

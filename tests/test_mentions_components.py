@@ -212,6 +212,36 @@ def test_join_tier_equals_trie_tier(spark):
     assert join == trie
     assert ("u2", "aa", "X", "aa", 2) in join  # overlaps counted
 
+    # prefix prefilter must be purely an optimization: identical rows with
+    # the filter disabled (cap=0 -> every length's set exceeds the cap)
+    nofilter = {
+        tuple(r) for r in detect_mentions_join(pages, alias_df, prefix_cap=0).collect()
+    }
+    assert nofilter == trie
+
+
+def test_mention_join_stats_audit(spark):
+    """mention_join_stats reports per-length exploded-side volume and
+    whether the prefix prefilter ships (the lsh_bucket_stats pattern for
+    the mention join tier)."""
+    from kgspark.extract.mentions import mention_join_stats
+
+    pages = spark.createDataFrame(
+        [("u1", "abcde"), ("u2", "xy"), ("u3", None)], "url string, text string"
+    )
+    alias_df = spark.createDataFrame(
+        [("ab", "L", "ab"), ("cde", "L", "cde")], "alias string, label string, name string"
+    )
+    rows = {r["length"]: r for r in mention_join_stats(pages, alias_df).collect()}
+    # length 2: 4 substrings from 'abcde' + 1 from 'xy'; length 3: 3 + 0
+    assert rows[2]["raw_substrings"] == 5 and rows[3]["raw_substrings"] == 3
+    assert rows[2]["prefilter_ships"] and rows[2]["n_prefixes"] == 1
+    capped = {
+        r["length"]: r
+        for r in mention_join_stats(pages, alias_df, prefix_cap=0).collect()
+    }
+    assert not capped[2]["prefilter_ships"] and capped[2]["n_prefixes"] is None
+
 
 @pytest.mark.parametrize("threshold", [0, 2_000_000])
 def test_merge_components_equals_full_recompute(spark, threshold):
