@@ -535,6 +535,38 @@ WHERE contains(text, kw)
 """
 
 
+def _x6_mentions_join(spark, sf):
+    """X6 beyond-broadcast tier: the substring-explode join (with the
+    per-length prefix prefilter) must produce exactly the trie tier's rows —
+    same oracle as x6_mentions, independently verifying the second tier."""
+    from kgspark.extract.mentions import detect_mentions_join
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    alias_df = spark.createDataFrame(
+        [(w, "Term", w) for w in ["spark", "join", "window", "merge"]],
+        "alias string, label string, name string",
+    )
+    m = detect_mentions_join(d, alias_df)
+    return m.select(F.col("url").cast("long").alias("doc_id"), "alias", "n_hits")
+
+
+def _dense_index_docs(spark, sf):
+    """dense_index (ops/kg_sampling.py): parallel global-rank assignment ==
+    row_number() OVER (ORDER BY key) - 1, verified against the SQL form."""
+    from kgspark.ops.kg_sampling import dense_index
+
+    d = _t(spark, sf, "documents").select("doc_id").distinct()
+    return dense_index(d, "doc_id")
+
+
+_DENSE_INDEX_SQL = """
+SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+FROM (SELECT DISTINCT doc_id FROM documents)
+"""
+
+
 def _f8_to_json(spark, sf):
     """F8: JSON serialization (filter_disease.py:103-104 analog)."""
     e = _t(spark, sf, "events")
@@ -1179,6 +1211,41 @@ SELECT doc_id,
        CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_len
 FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _context_cards(spark, sf):
+    """F5 context-card formatting (kgspark/query/cards.py) exercised over the
+    TPC-H dims: per-region card with a first-5 sorted nation list and a
+    50-char comment truncation + unconditional '...' — the reference's
+    graph_retriever.py:64-75,171-177 template semantics, hash-verified."""
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer")
+    agg = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("c_name")).alias("names"))
+    )
+    roster = F.array_join(F.col("names"), ", ")
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.concat(
+            F.lit("【Nation】"), F.col("n_name"), F.lit(":\n  - customers: "),
+            F.array_join(F.slice("names", 1, 5), ", "),
+            F.lit("\n  - roster: "), F.substring(roster, 1, 50), F.lit("..."),
+        ).alias("card"),
+    )
+
+
+_CONTEXT_CARDS_SQL = """
+SELECT n_name AS nation,
+       '【Nation】' || n_name || ':\n  - customers: ' ||
+       array_to_string(list_slice(list_sort(list(c_name)), 1, 5), ', ') ||
+       '\n  - roster: ' ||
+       substring(array_to_string(list_sort(list(c_name)), ', '), 1, 50) || '...'
+       AS card
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
 """
 
 
@@ -2136,6 +2203,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
         "f_higher_order": _f_higher_order,
+        # --- new this round ---
+        "context_cards": _context_cards,
+        "x6_mentions_join": _x6_mentions_join,
+        "dense_index_docs": _dense_index_docs,
         # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2241,6 +2312,9 @@ def oracle_sql() -> dict[str, str]:
         "f_date_funcs": _F_DATE_SQL,
         "percentile_stats": _PERCENTILE_SQL,
         "f_higher_order": _F_HIGHER_ORDER_SQL,
+        "context_cards": _CONTEXT_CARDS_SQL,
+        "x6_mentions_join": _X6_SQL,
+        "dense_index_docs": _DENSE_INDEX_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,
         "pivot_events": _PIVOT_SQL,

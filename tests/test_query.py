@@ -183,3 +183,73 @@ def test_subgraph_rank_ordered_truncation(spark):
     assert [(r["subj"], r["obj"]) for r in sub.triples.collect()] == [("seed", "zzz")]
     sub_plain = retrieve_subgraph(nodes, edges, ["seed"], hops=1, limit=1)
     assert [(r["subj"], r["obj"]) for r in sub_plain.triples.collect()] == [("seed", "aaa")]
+
+
+def test_context_cards_exact_strings(spark):
+    """F5 card templates: exact-string checks against the reference formats
+    (graph_retriever.py:64-75,171-177,218-240), including the unconditional
+    desc[:50]+'...' quirk and the >100-char services truncation."""
+    from kgspark.query import cards
+
+    expand = spark.createDataFrame(
+        [("高血压", "简介X", None, ["s1", "s2", "s3", "s4", "s5", "s6"], [], ["d1"])],
+        "disease string, intro string, treat_detail string, "
+        "symptoms array<string>, complications array<string>, drugs array<string>",
+    )
+    got = cards.disease_info_cards(expand).collect()[0]["card"]
+    assert got == (
+        "【疾病信息】高血压:\n"
+        "  - 简介: 简介X\n"
+        "  - 症状: s1, s2, s3, s4, s5\n"
+        "  - 常用药物: d1\n"
+    )
+
+    search = spark.createDataFrame(
+        [("保A", "0-65周岁", "短描述", None, None),
+         ("保B", "18-80周岁", "长" * 60, "医疗险", None)],
+        "name string, age_limit string, desc string, category string, price string",
+    )
+    card = cards.insurance_product_cards(search, keyword="医疗").collect()[0]["card"]
+    assert card.startswith("【保险产品库】(已根据关键词 '医疗' 筛选):\n")
+    # short desc still gets '...' (reference's unconditional f"{desc[:50]}...")
+    assert "【产品】保A\n   - 险种: 未知\n   - 投保年龄: 0-65周岁\n   - 描述: 短描述..." in card
+    assert "描述: " + "长" * 50 + "..." in card and "长" * 51 not in card
+
+    nh = spark.createDataFrame(
+        [("颐养苑", "4500", "北京市朝阳区", "服" * 120, "300张", "民营")],
+        "name string, price string, address string, services string, beds string, nature string",
+    )
+    card = cards.nursing_home_cards(nh, city="北京", price_max=5000).collect()[0]["card"]
+    assert card.startswith("【养老机构推荐】(筛选条件: 城市=北京, 预算<5000):\n")
+    assert "【颐养苑】\n  - 价格: 4500元/月\n  - 地址: 北京市朝阳区" in card
+    assert "特色服务: " + "服" * 100 + "..." in card and "服" * 101 not in card
+
+    empty = nh.where("1=0")
+    fb = cards.nursing_home_cards(empty, city=None, price_max=3000).collect()[0]["card"]
+    assert fb == "【养老机构】未找到符合条件的养老院 (城市: None, 预算: 3000)。"
+
+    assert cards.assemble_context([cards.covering_insurance_card(
+        spark.createDataFrame([], "ins_name string, description string, age_limit string"), "糖尿病"
+    )]) == cards.EMPTY_CONTEXT
+
+
+def test_context_cards_end_to_end(graph):
+    """Full GraphRAG context assembly over the miniature graph: parse ->
+    retrieval plans -> cards -> context string (reference §3.2 lifecycle,
+    minus the LLM stages)."""
+    from kgspark import fixtures
+    from kgspark.query import cards
+
+    nodes, edges = graph
+    d = fixtures.DISEASES[1]
+    expand = retriever.disease_expand(nodes, edges, d)
+    info = cards.disease_info_cards(expand)
+    age = cards.age_insurance_card(retriever.insurance_for_age(nodes, edges, 70), 70)
+    nh = cards.nursing_home_cards(
+        retriever.nursing_home_search(nodes, city=None, price_max=None), None, None
+    )
+    ctx = cards.assemble_context([info, age, nh])
+    assert f"【疾病信息】{d}:" in ctx
+    assert "  - 症状: " in ctx
+    assert "【养老机构推荐】" in ctx
+    assert ctx.count("\n\n") >= 1
