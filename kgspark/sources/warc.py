@@ -77,7 +77,9 @@ def _parse_warc_bytes(raw: bytes) -> Iterator[dict]:
         for line in lines[1:]:
             k, sep, v = line.partition(":")
             if sep:
-                fields[k.strip().lower()] = v.strip()
+                # strip SP/TAB only (WARC header LWS) — str.strip() would also
+                # eat Unicode whitespace like U+0085 inside a target URI
+                fields[k.strip(" \t").lower()] = v.strip(" \t")
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
