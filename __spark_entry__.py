@@ -1281,6 +1281,119 @@ FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
 """
 
 
+def _minhash_dedup_portable(spark, sf):
+    """The FULL near-dup pipeline — portable signatures -> LSH banding ->
+    candidate pairs -> signature-agreement estimate -> connected components
+    -> cluster labels — hash-verified end-to-end: the DuckDB oracle replays
+    every stage including the CC fixpoint (recursive-CTE transitive closure
+    + min-reachable-id). The production pipeline (ops/dedup.minhash_dedup)
+    uses the same shapes with 64 xxhash64-domain perms and the bucketed
+    pair generator; this 4-perm md5-domain variant is the bit-reproducible
+    cross-engine witness."""
+    sigs = _minhash_portable_sig(spark, sf)
+    banded = sigs.select(
+        "doc_id", F.lit(0).alias("band"), F.md5(F.concat_ws(",", "h0", "h1")).alias("bucket")
+    ).union(
+        sigs.select("doc_id", F.lit(1), F.md5(F.concat_ws(",", "h2", "h3")))
+    )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+    pairs = (
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"sa{i}") for i in range(4)])
+    sb = sigs.select(F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"sb{i}") for i in range(4)])
+    agree = sum((F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int") for i in range(4))
+    est = pairs.join(sa, "a").join(sb, "b").filter(agree >= 2).select("a", "b")
+
+    from kgspark.extract.components import connected_components
+
+    comp = connected_components(est, "a", "b")
+    ids = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select("doc_id").distinct()
+    return ids.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster")
+    )
+
+
+_MINHASH_DEDUP_PORTABLE_SQL = """
+WITH RECURSIVE sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':0'))) AS h0,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':1'))) AS h1,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':2'))) AS h2,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':3'))) AS h3
+  FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
+        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents WHERE text IS NOT NULL))
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT p.a, p.b
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b
+  WHERE CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+      + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) >= 2
+), sym AS (
+  SELECT a AS s, b AS d FROM est UNION SELECT b, a FROM est
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.s, t.r FROM sym e JOIN reach t ON e.d = t.id
+), comp AS (
+  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+)
+SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+def _cc_components_tpch(spark, sf):
+    """Connected components over a long-id TPC-H graph (customer -> nation
+    -> region chains; components == regions), hash-verified against a
+    recursive-CTE transitive-closure + min-reachable-id oracle — the
+    independent cross-engine witness for the CC operator itself."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    e1 = cust.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+    )
+    e2 = nat.select(
+        (F.col("n_nationkey").cast("long") + F.lit(1_000_000)).alias("src"),
+        (F.col("n_regionkey").cast("long") + F.lit(2_000_000)).alias("dst"),
+    )
+    from kgspark.extract.components import connected_components
+
+    return connected_components(e1.union(e2)).select(
+        "id", F.col("component").cast("long").alias("component")
+    )
+
+
+_CC_COMPONENTS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(c_custkey AS BIGINT) AS s, CAST(c_nationkey AS BIGINT) + 1000000 AS d
+  FROM customer
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 1000000, CAST(n_regionkey AS BIGINT) + 2000000
+  FROM nation
+), sym AS (
+  SELECT s, d FROM edges UNION SELECT d, s FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.s, t.r FROM sym e JOIN reach t ON e.d = t.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+"""
+
+
 def _having_agg(spark, sf):
     """GROUP BY ... HAVING on an aggregate (filter over grouped plan)."""
     li = _t(spark, sf, "lineitem")
@@ -2207,6 +2320,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_cards": _context_cards,
         "x6_mentions_join": _x6_mentions_join,
         "dense_index_docs": _dense_index_docs,
+        "minhash_dedup_portable": _minhash_dedup_portable,
+        "cc_components_tpch": _cc_components_tpch,
         # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2315,6 +2430,8 @@ def oracle_sql() -> dict[str, str]:
         "context_cards": _CONTEXT_CARDS_SQL,
         "x6_mentions_join": _X6_SQL,
         "dense_index_docs": _DENSE_INDEX_SQL,
+        "minhash_dedup_portable": _MINHASH_DEDUP_PORTABLE_SQL,
+        "cc_components_tpch": _CC_COMPONENTS_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,
         "pivot_events": _PIVOT_SQL,
