@@ -4,15 +4,18 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct; decode/resize/frame-sample run as Arrow-batched pandas functions via
 mapInPandas.
 
-PNG decode is REAL and stdlib-only: ``decode_png`` parses the chunk stream,
-inflates IDAT with zlib, and un-applies the per-scanline filters
-(None/Sub/Up/Average/Paeth) into an (h, w, channels) uint8 pixel array —
-bit-depth-8, non-interlaced, color types 0/2/3/4/6 (the overwhelming web
-majority). ``decode_image`` turns those pixels into a deterministic
-FEATURE_DIM stats vector. Codec-dependent formats (JPEG entropy decode,
-audio/video) remain STUBBED behind NotImplementedError (no codec libs in
-this container); ``fake=True`` keeps the hash-derived stand-in for
-plumbing-only tests and non-PNG payloads.
+PNG and WAV decode are REAL and stdlib-only: ``decode_png`` parses the
+chunk stream, inflates IDAT with zlib, and un-applies the per-scanline
+filters (None/Sub/Up/Average/Paeth) into an (h, w, channels) uint8 pixel
+array — bit-depth-8, non-interlaced, color types 0/2/3/4/6 (the
+overwhelming web majority); ``decode_wav`` walks the RIFF chunks into
+float PCM samples (8/16/32-bit integer PCM). ``media_features``
+dispatches by magic bytes into a deterministic FEATURE_DIM stats vector
+(pixel stats for images, duration/rms/zcr/histogram for audio).
+Codec-dependent formats (JPEG entropy decode, MP4) remain STUBBED behind
+NotImplementedError (no codec libs in this container); ``fake=True``
+keeps the hash-derived stand-in for plumbing-only tests and undecodable
+payloads.
 """
 
 from __future__ import annotations
@@ -140,6 +143,223 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code width growing to 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits:
+        byte_idx = bitpos >> 3
+        window = int.from_bytes(data[byte_idx : byte_idx + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code out of range")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+_GIF_DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL stdlib GIF decode: first frame -> (h, w, 3) uint8 RGB pixels
+    (LZW inflate + palette expansion; interlaced frames are deinterlaced).
+    Animation (later frames), transparency compositing, and disposal
+    semantics are out of scope — the first rendered frame is the corpus
+    feature source. Malformed streams raise ValueError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream (bad magic)")
+    pos = 6
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos : pos + 7])
+    pos += 7
+    global_palette = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        global_palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _lx, _ty, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            palette = global_palette
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(min_code, b"".join(chunks)), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            idx = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                ordered = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_DEINTERLACE_PASSES:
+                    rows = range(start, h, step)
+                    ordered[list(rows)] = idx[src : src + len(rows)]
+                    src += len(rows)
+                idx = ordered
+            if idx.max(initial=0) >= len(palette):
+                raise ValueError("GIF pixel index outside color table")
+            return palette[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray, interlaced: bool = False) -> bytes:
+    """Minimal stdlib GIF89a encoder for fixtures/round-trip tests: palette
+    indices (h, w) + palette (n, 3) -> a spec-valid single-frame GIF. Uses
+    the classic 'uncompressed GIF' LZW trick (a CLEAR code before every
+    pixel code keeps the code width fixed) — bulky but valid, and exercises
+    the decoder's clear-handling path on every pixel."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    pal_size = 1 << bits
+    pal_full = np.zeros((pal_size, 3), np.uint8)
+    pal_full[: len(pal)] = pal
+    clear, end = pal_size, pal_size + 1
+    code_size = bits + 1
+    if interlaced:
+        rows = [r for start, step in _GIF_DEINTERLACE_PASSES for r in range(start, h, step)]
+        idx = idx[rows]
+    # bit-pack [clear, p, clear, p, ..., end] LSB-first
+    acc = bitlen = 0
+    packed = bytearray()
+    def emit(code: int) -> None:
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    for p in idx.ravel():
+        emit(clear)
+        emit(int(p))
+    emit(end)
+    if bitlen:
+        packed.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(bits)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL stdlib WAV decode: RIFF chunk walk -> PCM samples.
+
+    Returns (samples, sample_rate) with samples float64 in [-1, 1], shape
+    (n_frames, channels). Scope: integer PCM at 8/16/32 bits (the WAV
+    shapes crawls actually contain); compressed/float formats raise
+    NotImplementedError, malformed streams ValueError.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1:
+        raise NotImplementedError(f"WAV audio format {audio_fmt} (only PCM=1 supported)")
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if bits == 16:
+        arr = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        arr = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 32:
+        arr = np.frombuffer(data, "<i4").astype(np.float64) / float(2**31)
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV not supported")
+    frames = len(arr) - (len(arr) % channels)
+    return arr[:frames].reshape(-1, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal stdlib WAV encoder (16-bit PCM): float samples in [-1, 1],
+    shape (n_frames,) or (n_frames, channels) -> a spec-valid RIFF/WAVE.
+    Deterministic; exists so fixtures and round-trip tests can produce real
+    audio payloads without codec libraries."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a deterministic FEATURE_DIM feature vector.
 
@@ -155,24 +375,62 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         digest = hashlib.md5(payload or b"").digest()
         raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
         return (raw.astype(np.float64) / float(2**32)).astype(np.float32)
-    if payload and bytes(payload).startswith(_PNG_MAGIC):
-        px = decode_png(bytes(payload)).astype(np.float64) / 255.0
-        h, w, c = px.shape
-        flat = px.reshape(-1, c)
-        feat = np.zeros(FEATURE_DIM, dtype=np.float64)
-        feat[0] = np.log1p(w)
-        feat[1] = np.log1p(h)
-        feat[2] = float(c)
-        feat[3 : 3 + min(c, 4)] = flat.mean(axis=0)[:4]
-        feat[7 : 7 + min(c, 4)] = flat.std(axis=0)[:4]
-        luma = flat.mean(axis=1)
-        hist, _ = np.histogram(luma, bins=5, range=(0.0, 1.0))
-        feat[11:16] = hist / float(luma.size)
-        return feat.astype(np.float32)
+    head = bytes(payload or b"")
+    if head.startswith(_PNG_MAGIC):
+        return _pixel_stats(decode_png(head))
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return _pixel_stats(decode_gif(head))
     raise NotImplementedError(
-        "only PNG decodes without codec libraries (this container has none); "
-        "pass fake=True for the deterministic stand-in on other formats"
+        "only PNG/GIF decode without codec libraries (this container has "
+        "none); pass fake=True for the deterministic stand-in on other formats"
     )
+
+
+def _pixel_stats(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 pixels -> the FEATURE_DIM stats vector (see
+    ``decode_image``)."""
+    px = pixels.astype(np.float64) / 255.0
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    feat = np.zeros(FEATURE_DIM, dtype=np.float64)
+    feat[0] = np.log1p(w)
+    feat[1] = np.log1p(h)
+    feat[2] = float(c)
+    feat[3 : 3 + min(c, 4)] = flat.mean(axis=0)[:4]
+    feat[7 : 7 + min(c, 4)] = flat.std(axis=0)[:4]
+    luma = flat.mean(axis=1)
+    hist, _ = np.histogram(luma, bins=5, range=(0.0, 1.0))
+    feat[11:16] = hist / float(luma.size)
+    return feat.astype(np.float32)
+
+
+def media_features(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Format-dispatching feature extraction: PNG -> pixel statistics
+    (``decode_image``), RIFF/WAVE -> audio statistics ([log1p(duration_ms),
+    log1p(rate), channels, rms, peak, zero-crossing rate, 5-bin |amplitude|
+    histogram] in the same FEATURE_DIM layout). Other formats raise
+    NotImplementedError unless ``fake=True`` (hash-derived stand-in) —
+    JPEG/MP4 need codec libraries this container lacks."""
+    if fake:
+        return decode_image(payload, fake=True)
+    head = bytes(payload or b"")
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        samples, rate = decode_wav(head)
+        n_frames, channels = samples.shape
+        mono = samples.mean(axis=1) if channels > 1 else samples[:, 0]
+        feat = np.zeros(FEATURE_DIM, dtype=np.float64)
+        feat[0] = np.log1p(1000.0 * n_frames / rate)  # duration_ms
+        feat[1] = np.log1p(rate)
+        feat[2] = float(channels)
+        if n_frames:
+            feat[3] = float(np.sqrt(np.mean(mono**2)))  # rms
+            feat[4] = float(np.abs(mono).max())  # peak
+            if n_frames > 1:
+                feat[5] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            hist, _ = np.histogram(np.abs(mono), bins=5, range=(0.0, 1.0))
+            feat[11:16] = hist / float(n_frames)
+        return feat.astype(np.float32)
+    return decode_image(head, fake=False)
 
 
 def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
@@ -241,7 +499,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                None if payload is None else decode_image(bytes(payload), fake=fake).tolist()
+                None if payload is None else media_features(bytes(payload), fake=fake).tolist()
                 for payload in pdf["payload"]
             ]
             yield pd.DataFrame(

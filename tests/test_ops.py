@@ -191,6 +191,94 @@ def test_png_decode_real_pixel_stats(spark):
         multimodal.decode_png(bytes(bad_depth))
 
 
+def test_gif_decode_roundtrip():
+    """decode_gif is a REAL decoder: encode known palette indices (plain
+    and interlaced, chunked sub-blocks), decode, require exact RGB pixels;
+    LZW table-growth path exercised via a run-length payload."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(9, 13), dtype=np.uint8)
+    for interlaced in (False, True):
+        raw = multimodal.encode_gif(idx, pal, interlaced=interlaced)
+        got = multimodal.decode_gif(raw)
+        assert got.shape == (9, 13, 3)
+        assert (got == pal[idx]).all(), interlaced
+
+    # LZW dictionary growth: decode a stream compressed WITHOUT per-pixel
+    # clears (hand-built codes: clear once, then literal codes let the
+    # table grow and emit a grown code)
+    # pixels: 0,0,0,0 -> codes [clear, 0, table[6]=b'\x00\x00', end] @3 bits
+    def pack(codes, size):
+        acc = blen = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << blen
+            blen += size
+            while blen >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                blen -= 8
+        if blen:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    data = pack([4, 0, 6, 5], 3)  # clear=4, end=5 at min_code_size=2
+    assert multimodal._lzw_decode(2, data) == b"\x00\x00\x00"
+
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no image
+
+    # media_features dispatches GIF by magic
+    feat = multimodal.media_features(multimodal.encode_gif(idx, pal))
+    assert abs(feat[2] - 3.0) < 1e-6 and len(feat) == multimodal.FEATURE_DIM
+
+
+def test_wav_decode_roundtrip_and_stats(spark):
+    """decode_wav is a REAL decoder: encode a known sine wave, decode,
+    verify sample round-trip and the audio feature statistics; the Spark
+    stage dispatches WAV payloads by magic bytes."""
+    import numpy as np
+    import pandas as pd
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    payload = multimodal.encode_wav(sine, rate)
+    samples, got_rate = multimodal.decode_wav(payload)
+    assert got_rate == rate and samples.shape == (rate, 1)
+    assert np.abs(samples[:, 0] - sine).max() < 1e-3  # 16-bit quantization
+
+    feat = multimodal.media_features(payload)
+    assert abs(feat[0] - np.log1p(1000.0)) < 1e-3  # 1000 ms
+    assert abs(feat[2] - 1.0) < 1e-6  # mono
+    assert abs(feat[3] - 0.5 / np.sqrt(2)) < 1e-3  # sine rms = amp/sqrt(2)
+    assert abs(feat[4] - 0.5) < 1e-3  # peak
+
+    # stereo + 8-bit path
+    stereo = np.stack([sine, -sine], axis=1)
+    s2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo, rate))
+    assert s2.shape == (rate, 2)
+
+    pdf = pd.DataFrame(
+        {"media_id": [1], "kind": ["audio"], "payload": [payload], "meta": [None]}
+    )
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    rows = multimodal.extract_features(media, fake=False).collect()
+    assert rows[0]["feature"] == [float(x) for x in feat]
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxWAVE")  # no fmt/data
+    with pytest.raises(NotImplementedError):
+        # audio format 3 (IEEE float) is not PCM
+        bad = bytearray(payload)
+        bad[20] = 3
+        multimodal.decode_wav(bytes(bad))
+
+
 def test_ivf_topk_recall(spark):
     from kgspark.ops import similarity
 
