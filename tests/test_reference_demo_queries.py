@@ -75,3 +75,32 @@ def test_demo_q3_diabetes_complications(graph):
     assert row2 and (row2[0]["complications"] or row2[0]["symptoms"])
     names = {r["name"] for r in nodes.filter(F.col("label") == "Disease").collect()}
     assert set(row2[0]["complications"]) <= names
+
+
+def test_full_rag_context_for_all_demo_questions(graph):
+    """retrieve_context runs the complete /chat data-plane loop (parse ->
+    intent-gated retrieval -> cards -> context) for each README demo
+    question over the reference-built graph."""
+    from kgspark.query.rag import retrieve_context
+
+    nodes, edges = graph
+    q1 = retrieve_context(nodes, edges, "70岁高血压老人推荐买什么保险？")
+    assert q1["parsed"]["age"] == 70 and "高血压" in q1["parsed"]["disease"]
+    assert "【疾病信息】高血压" in q1["context"]
+    assert "【推荐保险】针对 高血压" in q1["context"]
+    assert "【适老保险】适合 70 岁" in q1["context"]
+    assert "【保险产品库】" in q1["context"]  # insurance intent
+
+    q2 = retrieve_context(nodes, edges, "北京价格5000元以下的养老院有哪些？")
+    assert q2["parsed"]["intent"] == "nursing_home_search"
+    assert q2["context"].startswith("【养老机构推荐】(筛选条件: 城市=北京, 预算<5000):")
+
+    q3 = retrieve_context(nodes, edges, "老年人糖尿病有哪些并发症？")
+    assert "【疾病信息】老年人糖尿病" in q3["context"]
+    assert "  - 并发症: " in q3["context"]
+
+    # unanswerable question -> the exact empty-context sentence
+    from kgspark.query import cards as c
+
+    q4 = retrieve_context(nodes, edges, "今天天气怎么样")
+    assert q4["context"] == c.EMPTY_CONTEXT
