@@ -279,6 +279,51 @@ def test_wav_decode_roundtrip_and_stats(spark):
         multimodal.decode_wav(bytes(bad))
 
 
+def test_wav_decode_8_and_32_bit_paths():
+    """The 8-bit (unsigned, 128-centered) and 32-bit PCM branches decode to
+    the same normalized values as the 16-bit reference encoding."""
+    import struct as _struct
+
+    import numpy as np
+
+    def raw_wav(bits, data, channels=1, rate=4000):
+        fmt = _struct.pack(
+            "<HHIIHH", 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # 8-bit: 0 -> -1.0, 128 -> 0.0, 255 -> ~0.992
+    s8, rate = multimodal.decode_wav(raw_wav(8, bytes([0, 128, 255])))
+    assert rate == 4000 and s8.shape == (3, 1)
+    assert abs(s8[0, 0] + 1.0) < 1e-9 and abs(s8[1, 0]) < 1e-9
+    assert abs(s8[2, 0] - 127 / 128) < 1e-9
+
+    # 32-bit: full-scale min/zero/max
+    vals = np.array([-(2**31), 0, 2**31 - 1], dtype="<i4")
+    s32, _ = multimodal.decode_wav(raw_wav(32, vals.tobytes()))
+    assert abs(s32[0, 0] + 1.0) < 1e-9 and abs(s32[1, 0]) < 1e-9
+    assert abs(s32[2, 0] - (2**31 - 1) / 2**31) < 1e-12
+
+    # odd-length chunk word alignment: a 3-byte 8-bit data chunk followed by
+    # a junk chunk must still parse (pad byte honored)
+    junk = b"JUNK" + (2).to_bytes(4, "little") + b"zz"
+    fmt = _struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + (3).to_bytes(4, "little") + bytes([0, 128, 255]) + b"\x00"
+        + junk
+    )
+    s, _ = multimodal.decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert s.shape == (3, 1)
+
+
 def test_ivf_topk_recall(spark):
     from kgspark.ops import similarity
 
