@@ -1281,6 +1281,92 @@ FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
 """
 
 
+def _url_normalize(spark, sf):
+    """URL canonicalization (ops/curation.normalize_url): scheme/host case,
+    default ports, fragments, tracking params, query-param order — exact
+    ANSI-SQL replay."""
+    from kgspark.ops.curation import normalize_url
+
+    d = _t(spark, sf, "documents")
+    # synthesize messy variants deterministically from doc_id so the op's
+    # branches (ports, params, fragments) all fire on driver data
+    messy = F.concat(
+        F.lit("HTTP://Example.COM:80/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b=2&a=1#frag"),
+    )
+    return d.select("doc_id", normalize_url(messy).alias("url_norm"))
+
+
+_URL_NORMALIZE_SQL = """
+SELECT doc_id,
+       'http://example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url_norm
+FROM documents
+"""
+
+
+def _split_assign_docs(spark, sf):
+    """Deterministic train/val/test split (ops/curation.split_assign):
+    md5-bucket assignment, bit-for-bit replayed by the oracle."""
+    from kgspark.ops.curation import split_assign
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", split_assign(F.col("doc_id")).alias("split"))
+
+
+def _split_assign_sql() -> str:
+    # same md5-hex -> bigint digit expansion the negative-sampling oracle uses
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN bucket < 5 THEN 'val'
+            WHEN bucket < 10 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, ({expansion}) % 100 AS bucket
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 15) AS h
+        FROM documents)
+)
+"""
+
+
+_SPLIT_ASSIGN_SQL = _split_assign_sql()
+
+
+def _pack_sequences(spark, sf):
+    """Token-budgeted contiguous packing (ops/curation.pack_greedy_contiguous)
+    over whitespace token counts — one window sum, SQL-replayed exactly."""
+    from kgspark.ops.curation import pack_greedy_contiguous
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy_contiguous(toks, "n_tokens", "doc_id", budget=512).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+_PACK_SEQUENCES_SQL = """
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL)
+)
+"""
+
+
 def _minhash_dedup_portable(spark, sf):
     """The FULL near-dup pipeline — portable signatures -> LSH banding ->
     candidate pairs -> signature-agreement estimate -> connected components
@@ -2322,6 +2408,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_index_docs": _dense_index_docs,
         "minhash_dedup_portable": _minhash_dedup_portable,
         "cc_components_tpch": _cc_components_tpch,
+        "url_normalize": _url_normalize,
+        "split_assign_docs": _split_assign_docs,
+        "pack_sequences": _pack_sequences,
         # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2432,6 +2521,9 @@ def oracle_sql() -> dict[str, str]:
         "dense_index_docs": _DENSE_INDEX_SQL,
         "minhash_dedup_portable": _MINHASH_DEDUP_PORTABLE_SQL,
         "cc_components_tpch": _CC_COMPONENTS_SQL,
+        "url_normalize": _URL_NORMALIZE_SQL,
+        "split_assign_docs": _SPLIT_ASSIGN_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,
         "pivot_events": _PIVOT_SQL,

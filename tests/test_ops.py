@@ -724,3 +724,71 @@ def test_dense_index_parallel_equals_global_rank(spark):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_normalize_url_cases(spark):
+    """URL canonicalization branch coverage: case, default/explicit ports,
+    fragments, tracking params, param order, empty path."""
+    from kgspark.ops.curation import normalize_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/a?b=2&a=1#f", "http://ex.com/a?a=1&b=2"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default kept
+        ("http://ex.com", "http://ex.com/"),  # empty path -> /
+        ("http://ex.com/p?utm_source=a&utm_campaign=b", "http://ex.com/p"),
+        ("http://ex.com/p?fbclid=z&q=1", "http://ex.com/p?q=1"),
+        ("http://ex.com/CaseKept/Path?Q=V", "http://ex.com/CaseKept/Path?Q=V"),
+        ("http://ex.com/p?b=2&a=1&b=1", "http://ex.com/p?a=1&b=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["n"] for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw])
+
+
+def test_split_assign_stable_and_proportional(spark):
+    """Split assignment is a pure function of (key, salt): stable across
+    partitionings, roughly proportional, and a salt change redraws."""
+    from kgspark.ops.curation import split_assign
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    a = {r["k"]: r["s"] for r in df.select("k", split_assign(F.col("k")).alias("s")).collect()}
+    b = {r["k"]: r["s"] for r in df.repartition(13).select("k", split_assign(F.col("k")).alias("s")).collect()}
+    assert a == b  # partitioning-invariant
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["val"] - 500) < 150 and abs(c["test"] - 500) < 150
+    c2 = Counter(
+        r["s"] for r in df.select(split_assign(F.col("k"), salt="v2").alias("s")).collect()
+    )
+    changed = sum(
+        1 for r in df.select("k", split_assign(F.col("k"), salt="v2").alias("s")).collect()
+        if a[r["k"]] != r["s"]
+    )
+    assert changed > 500  # a new salt is a fresh draw
+    assert c2.keys() == {"train", "val", "test"}
+
+
+def test_pack_greedy_contiguous_semantics(spark):
+    """Packing: contiguous fill, pack boundaries at the cumulative budget,
+    oversized docs own their packs, per-partition restart."""
+    from kgspark.ops.curation import pack_greedy_contiguous
+
+    rows = [(i, t) for i, t in enumerate([100, 100, 100, 100, 100, 600, 50, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in
+           pack_greedy_contiguous(df, "n_tokens", "doc_id", budget=512).collect()}
+    # cumsum-before: 0,100,...,400 -> pack 0; doc5 before=500 -> pack 0 tail
+    assert out[0] == (0, 0) and out[4] == (0, 400)
+    assert out[5] == (0, 500)  # straddles; belongs where its first token lands
+    assert out[6][0] == 2  # before=1100 -> pack 2 (oversized doc consumed pack 1)
+    # per-partition restart
+    df2 = spark.createDataFrame(
+        [("a", 0, 400), ("a", 1, 400), ("b", 0, 400)],
+        "shard string, doc_id long, n_tokens long",
+    )
+    got = {(r["shard"], r["doc_id"]): r["pack_id"] for r in
+           pack_greedy_contiguous(df2, "n_tokens", "doc_id", 512, partition_col="shard").collect()}
+    assert got[("a", 0)] == 0 and got[("a", 1)] == 0 and got[("b", 0)] == 0
