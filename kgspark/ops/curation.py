@@ -114,3 +114,80 @@ def pack_greedy_contiguous(
     return df.withColumn("pack_id", F.floor(before / F.lit(budget)).cast("long")).withColumn(
         "pack_offset", F.pmod(before, F.lit(budget)).cast("long")
     )
+
+
+def build_training_shards(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    lang: str | None = "en",
+    min_quality: float = 0.3,
+    neardup_threshold: float = 0.8,
+    budget: int = 2048,
+    n_shards: int = 16,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    salt: str = "split-v1",
+) -> dict:
+    """The end-to-end curation deliverable: (doc_id, text) corpus ->
+    language gate -> quality gate -> exact dedup -> MinHash near-dup ->
+    deterministic split -> token-budgeted packing -> parquet shards
+    partitioned by (split, shard).
+
+    Every stage is one of the engine's verified operators composed in the
+    canonical order (cheapest gates first, so dedup — the only shuffling
+    stage — sees the smallest surviving set). Shard assignment is
+    ``pmod(xxhash64(doc_id), n_shards)`` and packing restarts per
+    (split, shard), so the window sort is per-shard, never global, and the
+    output is identical at any parallelism. Returns per-stage surviving
+    counts plus per-split totals — the run's audit record (written to
+    ``out_dir/_stats.json`` as well).
+    """
+    import json
+
+    from kgspark.ops.dedup import exact_dedup, minhash_dedup
+    from kgspark.ops.textstats import lang_id, quality_features, token_count_ws
+
+    stats: dict = {"input": docs.count()}
+    d = docs.filter(F.col("text").isNotNull())
+    if lang is not None:
+        d = lang_id(d).filter(F.col("lang_pred") == lang).drop("lang_pred")
+    stats["after_lang"] = d.count()
+    d = quality_features(d).filter(F.col("quality_score") >= min_quality)
+    d = d.select("doc_id", "text")
+    stats["after_quality"] = d.count()
+    keep_exact = exact_dedup(d).select("doc_id")
+    d = d.join(keep_exact, "doc_id", "left_semi")
+    stats["after_exact_dedup"] = d.count()
+    reps = minhash_dedup(d, threshold=neardup_threshold).filter("is_representative")
+    d = d.join(reps.select("doc_id"), "doc_id", "left_semi")
+    stats["after_neardup"] = d.count()
+
+    cur = d.select(
+        "doc_id",
+        "text",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        split_assign(F.col("doc_id"), salt=salt, val_pct=val_pct, test_pct=test_pct).alias("split"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+    ).withColumn("_grp", F.concat_ws("|", "split", "shard"))
+    packed = pack_greedy_contiguous(
+        cur, "n_tokens", "doc_id", budget=budget, partition_col="_grp"
+    ).drop("_grp")
+    (
+        packed.repartition("split", "shard")
+        .sortWithinPartitions("pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(f"{out_dir}/shards")
+    )
+    written = spark.read.parquet(f"{out_dir}/shards")
+    for r in written.groupBy("split").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).collect():
+        stats[f"{r['split']}_docs"] = int(r["docs"])
+        stats[f"{r['split']}_tokens"] = int(r["tokens"])
+    from pathlib import Path
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    Path(f"{out_dir}/_stats.json").write_text(json.dumps(stats, sort_keys=True))
+    return stats

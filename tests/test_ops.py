@@ -792,3 +792,44 @@ def test_pack_greedy_contiguous_semantics(spark):
     got = {(r["shard"], r["doc_id"]): r["pack_id"] for r in
            pack_greedy_contiguous(df2, "n_tokens", "doc_id", 512, partition_col="shard").collect()}
     assert got[("a", 0)] == 0 and got[("a", 1)] == 0 and got[("b", 0)] == 0
+
+
+def test_build_training_shards_end_to_end(spark, tmp_path):
+    """The composed curation pipeline: gates are monotone, shards land
+    partitioned by (split, shard), packing respects the per-group restart,
+    stats persist, and a rerun is byte-deterministic."""
+    import json
+
+    from kgspark.ops.curation import build_training_shards
+
+    base_rows = []
+    for i in range(120):
+        base_rows.append((i, f"the quick brown document number {i} talks about spark joins and shuffles in detail " * 3))
+    base_rows += [(200 + i, base_rows[i][1]) for i in range(10)]  # exact dups
+    base_rows += [(300, "el texto en otro idioma que no pasa la puerta " * 4)]
+    base_rows += [(301, "!!! ??? ...")]  # low quality
+    docs = spark.createDataFrame(base_rows, "doc_id long, text string")
+
+    out = str(tmp_path / "shards1")
+    stats = build_training_shards(spark, docs, out, budget=256, n_shards=4)
+    assert stats["input"] == 132
+    assert stats["after_lang"] <= 131  # spanish doc gated
+    assert stats["after_quality"] <= stats["after_lang"]
+    assert stats["after_exact_dedup"] == stats["after_quality"] - 10  # dups folded
+    assert stats["after_neardup"] <= stats["after_exact_dedup"]
+    assert stats["train_docs"] > 0
+    disk = json.loads((tmp_path / "shards1" / "_stats.json").read_text())
+    assert disk == {k: v for k, v in stats.items()}
+
+    written = spark.read.parquet(f"{out}/shards")
+    assert set(written.columns) >= {"doc_id", "n_tokens", "split", "shard", "pack_id", "pack_offset"}
+    # pack offsets stay under budget and restart per (split, shard)
+    bad = written.filter((F.col("pack_offset") >= 256) | (F.col("pack_offset") < 0)).count()
+    assert bad == 0
+
+    out2 = str(tmp_path / "shards2")
+    stats2 = build_training_shards(spark, docs.repartition(7), out2, budget=256, n_shards=4)
+    assert stats2 == stats  # partitioning-invariant
+    a = sorted(map(tuple, written.collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{out2}/shards").collect()))
+    assert a == b
