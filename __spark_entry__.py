@@ -1281,6 +1281,26 @@ FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
 """
 
 
+def _nfc_normalize(spark, sf):
+    """Unicode NFC normalization (ops/unicodenorm.nfc_text): Python
+    unicodedata vs DuckDB utf8proc must agree byte-for-byte. Decomposed
+    sequences are synthesized onto the corpus text so the normalizer has
+    real work on every row."""
+    from kgspark.ops.unicodenorm import nfc_text
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # 'e' + U+0301 combining acute + fullwidth-unchanged suffix
+    decorated = F.concat(F.lit("Café "), F.col("text"), F.lit(" Å"))
+    return d.select("doc_id", nfc_text(decorated).alias("text_nfc"))
+
+
+_NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize('Cafe' || chr(769) || ' ' || text || ' ' || chr(65) || chr(778)) AS text_nfc
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _url_normalize(spark, sf):
     """URL canonicalization (ops/curation.normalize_url): scheme/host case,
     default ports, fragments, tracking params, query-param order — exact
@@ -2411,6 +2431,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _url_normalize,
         "split_assign_docs": _split_assign_docs,
         "pack_sequences": _pack_sequences,
+        "nfc_normalize": _nfc_normalize,
         # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2524,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _URL_NORMALIZE_SQL,
         "split_assign_docs": _SPLIT_ASSIGN_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,
         "pivot_events": _PIVOT_SQL,

@@ -833,3 +833,32 @@ def test_build_training_shards_end_to_end(spark, tmp_path):
     a = sorted(map(tuple, written.collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{out2}/shards").collect()))
     assert a == b
+
+
+def test_unicode_nfc_nfkc(spark):
+    """NFC composes equivalent sequences to one byte form (dedup keys);
+    NFKC additionally folds compatibility forms; fingerprints of NFC'd
+    variants collide as intended."""
+    from kgspark.ops.unicodenorm import nfc_text, nfkc_text
+
+    decomposed = "Café"       # e + combining acute
+    precomposed = "Café"
+    assert decomposed != precomposed  # genuinely different byte forms
+    full = "ＡＢ"           # fullwidth AB
+    lig = "ﬁle"                # fi-ligature + le
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, full), (4, lig), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["nfc"], r["nfkc"]) for r in df.select(
+        "doc_id", nfc_text(F.col("text")).alias("nfc"), nfkc_text(F.col("text")).alias("nfkc")
+    ).collect()}
+    assert out[1][0] == out[2][0] == precomposed  # NFC folds the variants
+    assert out[3][0] == full and out[3][1] == "AB"  # NFKC folds fullwidth
+    assert out[4][1] == "file"
+    assert out[5] == (None, None)
+
+    fp = {r["doc_id"]: r["f"] for r in df.filter("doc_id in (1,2)").select(
+        "doc_id", textstats.fingerprint(nfc_text(F.col("text"))).alias("f")
+    ).collect()}
+    assert fp[1] == fp[2]  # NFC-then-fingerprint collides the variants
