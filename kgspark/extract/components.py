@@ -102,6 +102,11 @@ def connected_components(
 
     ``stats``: pass a dict to receive {"iterations": k, "method": ...}.
     """
+    if method not in ("propagation", "star"):
+        # validate before the local-threshold branch: a typo must fail fast,
+        # not silently run the driver union-find on small inputs and only
+        # raise at scale
+        raise ValueError(f"method must be 'propagation' or 'star', got {method!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # materialize the edge list once: every iteration joins against it, and
@@ -115,8 +120,6 @@ def connected_components(
         return _local_components(edges.sparkSession, pairs)
     if method == "star":
         return _cc_star(sym, max_iter, stats)
-    if method != "propagation":
-        raise ValueError(f"method must be 'propagation' or 'star', got {method!r}")
     comp = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -183,6 +186,7 @@ def _cc_star(sym: DataFrame, max_iter: int, stats: dict | None) -> DataFrame:
 
     sig = signature(pairs)
     iters = 0
+    converged = False
     for _ in range(max_iter):
         iters += 1
         both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -216,10 +220,20 @@ def _cc_star(sym: DataFrame, max_iter: int, stats: dict | None) -> DataFrame:
         new_sig = signature(small)
         pairs = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
     if stats is not None:
-        stats.update({"iterations": iters, "method": "star"})
+        stats.update({"iterations": iters, "method": "star", "converged": converged})
+    if not converged:
+        # at signature fixpoint the edge set is a union of stars; if max_iter
+        # cut the loop short it may not be, and the min-per-neighborhood
+        # labeling below would be silently, arbitrarily wrong — worse than
+        # propagation's partially-converged labels. Fail loudly instead.
+        raise RuntimeError(
+            f"star contraction did not converge in max_iter={max_iter} rounds; "
+            "re-run with a larger max_iter (rounds needed ~ log2(n))"
+        )
     # fixpoint edge set is a union of stars: center = component min
     leaf_label = pairs.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("center"))
     return all_nodes.join(leaf_label, "id", "left").select(

@@ -25,6 +25,12 @@ def normalize_url(col: Column) -> Column:
     - remaining query parameters sorted (order-insensitive equality);
     - trailing ``?`` removed when the query empties; empty path -> ``/``.
 
+    Scheme-less inputs (``example.com/p``) pass through unchanged — a
+    crawler key must never be silently mangled into ``://example.com/p``;
+    callers wanting to canonicalize such strings prepend a scheme first.
+    Tracking parameters are dropped whether or not they carry a value
+    (``?fbclid`` and ``?fbclid=x`` both go).
+
     Pure string expressions (regexp_extract / split / array ops) — a narrow
     projection. Two urls that differ only in these respects normalize to
     the same string; everything else is preserved byte-for-byte.
@@ -48,11 +54,13 @@ def normalize_url(col: Column) -> Column:
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
-        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"),
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
     tail = F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), authority, path, tail)
+    return F.when(scheme == "", col).otherwise(
+        F.concat(scheme, F.lit("://"), authority, path, tail)
+    )
 
 
 def split_assign(
@@ -142,26 +150,63 @@ def build_training_shards(
     output is identical at any parallelism. Returns per-stage surviving
     counts plus per-split totals — the run's audit record (written to
     ``out_dir/_stats.json`` as well).
+
+    Stats cost ZERO extra corpus passes: per-stage counts ride the plan as
+    ``observe()`` accumulators instead of per-stage ``.count()`` actions
+    (the round-2 finding: ~6 raw-corpus recomputations). The raw input is
+    read exactly ONCE — the gated corpus is materialized with
+    ``localCheckpoint`` (which also fills the gate-stage observations) and
+    every dedup/pack/write stage reads that materialization; the dedup
+    counts ride the downstream actions those stages already run.
     """
     import json
+
+    from pyspark.sql import Observation
 
     from kgspark.ops.dedup import exact_dedup, minhash_dedup
     from kgspark.ops.textstats import lang_id, quality_features, token_count_ws
 
-    stats: dict = {"input": docs.count()}
-    d = docs.filter(F.col("text").isNotNull())
+    n = F.count(F.lit(1)).alias("n")
+    obs_in, obs_lang, obs_qual = Observation(), Observation(), Observation()
+    obs_exact, obs_nd = Observation(), Observation()
+
+    d = docs.observe(obs_in, n).filter(F.col("text").isNotNull())
     if lang is not None:
         d = lang_id(d).filter(F.col("lang_pred") == lang).drop("lang_pred")
-    stats["after_lang"] = d.count()
+    d = d.observe(obs_lang, n)
     d = quality_features(d).filter(F.col("quality_score") >= min_quality)
-    d = d.select("doc_id", "text")
-    stats["after_quality"] = d.count()
+    d = d.select("doc_id", "text").observe(obs_qual, n)
+    # THE raw-corpus pass: materialize the gated survivors; filling the three
+    # gate observations comes free with it
+    d = d.localCheckpoint(eager=True)
+    stats: dict = {
+        "input": int(obs_in.get["n"]),
+        "after_lang": int(obs_lang.get["n"]),
+        "after_quality": int(obs_qual.get["n"]),
+    }
     keep_exact = exact_dedup(d).select("doc_id")
-    d = d.join(keep_exact, "doc_id", "left_semi")
-    stats["after_exact_dedup"] = d.count()
+    # checkpoint again after the exact-dedup semi-join: fills obs_exact under
+    # a single controlled execution (minhash's internal partial executions
+    # would otherwise fill it with an empty metrics row) AND keeps minhash's
+    # several internal actions from re-running the semi-join each time
+    d = (
+        d.join(keep_exact, "doc_id", "left_semi")
+        .observe(obs_exact, n)
+        .localCheckpoint(eager=True)
+    )
     reps = minhash_dedup(d, threshold=neardup_threshold).filter("is_representative")
-    d = d.join(reps.select("doc_id"), "doc_id", "left_semi")
-    stats["after_neardup"] = d.count()
+    # same pattern: the eager checkpoint is the controlled first action that
+    # fills obs_nd (a dynamic-partition write fills it with an empty metrics
+    # row instead), and the final pack+write reads materialized blocks
+    # rather than re-running the near-dup semi-join
+    d = (
+        d.join(reps.select("doc_id"), "doc_id", "left_semi")
+        .observe(obs_nd, n)
+        .localCheckpoint(eager=True)
+    )
+
+    stats["after_exact_dedup"] = int(obs_exact.get["n"])
+    stats["after_neardup"] = int(obs_nd.get["n"])
 
     cur = d.select(
         "doc_id",
@@ -180,12 +225,16 @@ def build_training_shards(
         .partitionBy("split", "shard")
         .parquet(f"{out_dir}/shards")
     )
-    written = spark.read.parquet(f"{out_dir}/shards")
-    for r in written.groupBy("split").agg(
-        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
-    ).collect():
-        stats[f"{r['split']}_docs"] = int(r["docs"])
-        stats[f"{r['split']}_tokens"] = int(r["tokens"])
+    if stats["after_neardup"] > 0:
+        written = spark.read.parquet(f"{out_dir}/shards")
+        for r in written.groupBy("split").agg(
+            F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+        ).collect():
+            stats[f"{r['split']}_docs"] = int(r["docs"])
+            stats[f"{r['split']}_tokens"] = int(r["tokens"])
+    # else: every document was gated out — a fully-empty partitioned write
+    # leaves no parquet footers to read back (schema inference would throw);
+    # the stats record alone says what happened
     from pathlib import Path
 
     Path(out_dir).mkdir(parents=True, exist_ok=True)

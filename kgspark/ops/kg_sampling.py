@@ -45,6 +45,14 @@ def dense_index(df: DataFrame, key_col: str, n_parts: int | None = None) -> Data
     ranged = df.select(key_col).repartitionByRange(n_parts, key_col).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin the partitioning before the driver collects per-partition counts:
+    # repartitionByRange samples positionally, so recomputing `ranged` for the
+    # returned plan could draw different range boundaries if the upstream is
+    # nondeterministic — the collected offsets would then describe a
+    # partitioning the second job no longer has (duplicated/skipped ranks).
+    # localCheckpoint (the components.py pattern) makes both jobs read the
+    # same materialized partitioning.
+    ranged = ranged.localCheckpoint(eager=True)
     # one tiny aggregate: rows per range-partition -> cumulative offsets
     counts = {
         int(r["_pid"]): int(r["n"])

@@ -57,6 +57,13 @@ FEATURE_DIM = 16
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Decompression-bomb guard: web-crawl payloads are untrusted, and a few-KB
+# zlib/LZW stream can claim to inflate to gigabytes. Decoders bound their
+# output by the dimensions the HEADER declares, and reject headers whose
+# declared size exceeds this cap — 256 MB of raw pixels, far above any
+# legitimate web image, far below executor memory.
+_MAX_DECODED_BYTES = 1 << 28
+
 
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL stdlib PNG decode: chunk parse -> zlib inflate -> scanline
@@ -100,9 +107,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS.get(ctype)
     if channels is None:
         raise ValueError(f"invalid PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG declares {w}x{h}x{channels} = {expected} decoded bytes, "
+            f"over the {_MAX_DECODED_BYTES}-byte bomb guard"
+        )
+    # bounded inflate: never materialize more than expected+1 bytes no matter
+    # what the compressed stream claims (max_length caps decompressobj output;
+    # an overlong stream yields expected+1 bytes and fails the length check)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -143,9 +160,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+def _lzw_decode(min_code_size: int, data: bytes, max_output: int | None = None) -> bytes:
     """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
-    code width growing to 12 bits)."""
+    code width growing to 12 bits). ``max_output`` bounds the accumulated
+    output (bomb guard — callers pass the pixel count the header declares);
+    decoding stops once that many bytes exist."""
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -181,6 +200,8 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
                 code_size += 1
         out += entry
         prev = entry
+        if max_output is not None and len(out) >= max_output:
+            break
     return bytes(out)
 
 
@@ -214,6 +235,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
         elif block == 0x2C:  # image descriptor
             _lx, _ty, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
+            if w * h * 3 > _MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"GIF declares {w}x{h} pixels, over the "
+                    f"{_MAX_DECODED_BYTES}-byte bomb guard"
+                )
             palette = global_palette
             if iflags & 0x80:
                 n = 2 ** ((iflags & 0x07) + 1)
@@ -229,7 +255,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1
-            idx = np.frombuffer(_lzw_decode(min_code, b"".join(chunks)), np.uint8)
+            idx = np.frombuffer(
+                _lzw_decode(min_code, b"".join(chunks), max_output=w * h), np.uint8
+            )
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data short")
             idx = idx[: w * h].reshape(h, w)

@@ -182,6 +182,29 @@ def test_star_contraction_beats_propagation_on_chains(spark):
     assert star_stats["iterations"] <= 10  # ~log2(65) + convergence round
 
 
+def test_cc_method_typo_raises_even_below_threshold(spark):
+    """A bad ``method`` must fail fast at entry — not silently run the
+    driver union-find under local_threshold and only raise at scale
+    (ADVICE r2)."""
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="method"):
+        components.connected_components(edges, method="stars")
+
+
+def test_cc_star_nonconvergence_raises(spark):
+    """If the star loop exhausts max_iter before the signature fixpoint, the
+    edge set may not be a union of stars and the final labeling would be
+    silently wrong — it must raise instead (ADVICE r2)."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    stats = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components.connected_components(
+            edges, max_iter=1, local_threshold=0, method="star", stats=stats
+        ).collect()
+    assert stats.get("converged") is False
+
+
 def test_join_tier_equals_trie_tier(spark):
     """detect_mentions_join (beyond-broadcast substring-join tier) must
     produce exactly the trie tier's rows — occurrences, overlaps,

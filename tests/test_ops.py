@@ -237,6 +237,64 @@ def test_gif_decode_roundtrip():
     assert abs(feat[2] - 3.0) < 1e-6 and len(feat) == multimodal.FEATURE_DIM
 
 
+def test_decompression_bomb_guards():
+    """Crafted few-KB payloads claiming huge decoded sizes must be rejected
+    before inflation can exhaust executor memory (ADVICE r2): PNG headers
+    declaring absurd dimensions, overlong zlib streams, GIF dimension bombs,
+    and LZW streams producing more output than the header's pixel count."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # PNG declaring 50000x50000 RGBA (~10 GB) with a tiny zlib payload
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 6, 0, 0, 0)
+    bomb = (
+        multimodal._PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bomb guard"):
+        multimodal.decode_png(bomb)
+
+    # honest dimensions but a zlib stream inflating PAST the declared size:
+    # bounded decompressobj reads at most expected+1 bytes and errors
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = multimodal.encode_png(px)
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    overlong = (
+        multimodal._PNG_MAGIC
+        + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (4 * 3 + 1) + 5000)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        multimodal.decode_png(overlong)
+    assert multimodal.decode_png(good).shape == (4, 4, 3)  # guard doesn't bite real files
+
+    # GIF logical-image bomb: 65535x65535 declared
+    gif_bomb = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+        + bytes(6)  # 2-entry global palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + b"\x02\x01\x04\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="bomb guard"):
+        multimodal.decode_gif(gif_bomb)
+
+    # LZW output capped at max_output even when the stream keeps producing
+    # (all-zero bytes = endless literal code 0 -> one output byte per code)
+    unbounded = multimodal._lzw_decode(2, b"\x00" * 64)
+    assert len(unbounded) > 16
+    out = multimodal._lzw_decode(2, b"\x00" * 64, max_output=4)
+    assert 4 <= len(out) <= 5  # may overshoot by at most one table entry
+
+
 def test_wav_decode_roundtrip_and_stats(spark):
     """decode_wav is a REAL decoder: encode a known sine wave, decode,
     verify sample round-trip and the audio feature statistics; the Spark
@@ -740,6 +798,9 @@ def test_normalize_url_cases(spark):
         ("http://ex.com/p?fbclid=z&q=1", "http://ex.com/p?q=1"),
         ("http://ex.com/CaseKept/Path?Q=V", "http://ex.com/CaseKept/Path?Q=V"),
         ("http://ex.com/p?b=2&a=1&b=1", "http://ex.com/p?a=1&b=1&b=2"),
+        ("example.com/p?a=1", "example.com/p?a=1"),  # scheme-less: pass through
+        ("http://ex.com/p?fbclid", "http://ex.com/p"),  # valueless tracker dropped
+        ("http://ex.com/p?utm_x&q=1", "http://ex.com/p?q=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {r["url"]: r["n"] for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()}
@@ -833,6 +894,50 @@ def test_build_training_shards_end_to_end(spark, tmp_path):
     a = sorted(map(tuple, written.collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{out2}/shards").collect()))
     assert a == b
+
+
+def test_build_training_shards_all_gated_out(spark, tmp_path):
+    """A corpus the gates fully reject must produce a zero-count stats record,
+    not crash reading back an empty partitioned write (found driving the
+    builder over a Chinese corpus with lang='en')."""
+    import json
+
+    from kgspark.ops.curation import build_training_shards
+
+    docs = spark.createDataFrame(
+        [(1, "solo documento en otro idioma aqui presente " * 4)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "empty")
+    stats = build_training_shards(spark, docs, out, budget=256, n_shards=2)
+    assert stats["input"] == 1 and stats["after_neardup"] == 0
+    assert "train_docs" not in stats
+    assert json.loads((tmp_path / "empty" / "_stats.json").read_text()) == stats
+
+
+def test_build_training_shards_single_raw_pass(spark, tmp_path):
+    """The round-2 finding: per-stage .count() actions re-ran the gate
+    lineage ~6x from the raw corpus. Stats now ride observe() accumulators
+    and the gated corpus is localCheckpointed, so the raw input is scanned
+    exactly ONCE regardless of how many stages and stats follow."""
+    from kgspark.ops.curation import build_training_shards
+
+    rows = [
+        (i, f"the quick brown document number {i} talks about spark joins and shuffles in detail " * 3)
+        for i in range(60)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_scans(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs = raw.mapInPandas(count_scans, schema="doc_id long, text string")
+    stats = build_training_shards(spark, docs, str(tmp_path / "s"), budget=256, n_shards=2)
+    assert stats["input"] == 60
+    assert acc.value == 60, f"raw corpus scanned {acc.value / 60:.1f}x, expected once"
 
 
 def test_unicode_nfc_nfkc(spark):
