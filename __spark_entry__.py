@@ -54,6 +54,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# golden-hash witnesses for the queries with no SQL oracle
+# ---------------------------------------------------------------------------
+# (query name, sf-dir basename) -> (row count, bit_xor(xxhash64(*)) fingerprint)
+# pinned from the deterministic testdata fixtures; regenerate with
+# scripts/pin_witnesses.py after any intentional algorithm change.
+_WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
+    ("minhash_dedup_docs", "sf0.001"): (500, 5993671607093944936),
+    ("simhash_docs", "sf0.001"): (496, 402494656633553177),
+    ("openie_web_corpus", "sf0.001"): (528, -54864093808351467),
+    ("minhash_dedup_docs", "sf0.01"): (500, -5501486792301817208),
+    ("simhash_docs", "sf0.01"): (496, 7557581626628527616),
+    ("openie_web_corpus", "sf0.01"): (528, -54864093808351467),
+}
+
+
+def _witnessed(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Make a no-oracle query self-verifying: append a constant ``witness``
+    column carrying the verdict of an order-independent fingerprint
+    (row count + bit_xor of per-row xxhash64 — partitioning-invariant)
+    against the pinned constant for this input. The driver's rows-only check
+    then captures a hard pass/FAIL signal instead of just a row count.
+    Unknown inputs (no pin) surface the fingerprint as ``unpinned:...`` so a
+    new sf can be pinned from the recorded output. The fingerprint rides the
+    same plan as a broadcast one-row aggregate (no second action)."""
+    key = (name, Path(str(sf_dir).rstrip("/")).name)
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    fp = df.agg(
+        F.count(F.lit(1)).alias("_wn"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({cols}))"), F.lit(0)).alias("_wh"),
+    )
+    got = F.concat_ws(",", F.col("_wn").cast("string"), F.col("_wh").cast("string"))
+    pin = _WITNESS_PINS.get(key)
+    if pin is None:
+        verdict = F.concat(F.lit("unpinned:"), got)
+    else:
+        ok = (F.col("_wn") == F.lit(pin[0])) & (F.col("_wh") == F.lit(pin[1]))
+        verdict = F.when(ok, F.lit("pass")).otherwise(
+            F.concat(F.lit(f"FAIL:want={pin[0]},{pin[1]};got="), got)
+        )
+    return (
+        df.crossJoin(F.broadcast(fp))
+        .withColumn("witness", verdict)
+        .drop("_wn", "_wh")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2333,19 +2380,21 @@ _PAGERANK_TPCH_SQL = _pagerank_sql()
 
 
 def _minhash_dedup_docs(spark, sf):
-    """Rows-only check (minhash signatures are not SQL-expressible)."""
+    """Rows-only + pinned golden-hash witness (minhash signatures are not
+    SQL-expressible; the ``witness`` column carries the hard verdict)."""
     from kgspark.ops.dedup import minhash_dedup
 
-    return minhash_dedup(_t(spark, sf, "documents"), threshold=0.8).select(
+    out = minhash_dedup(_t(spark, sf, "documents"), threshold=0.8).select(
         "doc_id", "cluster", "is_representative"
     )
+    return _witnessed(out, "minhash_dedup_docs", sf)
 
 
 def _simhash_docs(spark, sf):
-    """Rows-only check."""
+    """Rows-only + pinned golden-hash witness."""
     from kgspark.ops.dedup import simhash_dedup
 
-    return simhash_dedup(_t(spark, sf, "documents"))
+    return _witnessed(simhash_dedup(_t(spark, sf, "documents")), "simhash_docs", sf)
 
 
 def _openie_web_corpus(spark, sf):
@@ -2361,9 +2410,10 @@ def _openie_web_corpus(spark, sf):
     n_docs = max(1000, _t(spark, sf, "documents").count())
     pages = fixtures.web_pages_df(spark, n_docs)
     triples = extract_doc_triples(with_extracted_text(pages))
-    return triples.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
+    out = triples.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
         F.count("*").alias("n")
     )
+    return _witnessed(out, "openie_web_corpus", sf)
 
 
 def _shipped(fn: Callable) -> Callable:
@@ -2384,64 +2434,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the first 50 keys. Round 1 verified
-    # keys q1_pricing_summary..percentile_stats (green rows in
-    # CORRECTNESS_r01.json); this round fronts every entry that has no driver
-    # row yet (plus the re-fixed f_higher_order), so that r01+r02 together
-    # cover the whole registry. Already-green entries rotate behind them.
+    # q1_pricing_summary..percentile_stats, round 2 the then-fronted window;
+    # round 3 fronts (a) the three no-oracle queries so their NEW pinned
+    # golden-hash ``witness`` column gets a driver row, (b) every r01-only
+    # green (18 months of drift risk otherwise — every registry entry stays
+    # green within the last two rounds), and (c) the r02 greens whose
+    # underlying code changed this round (dense_index localCheckpoint,
+    # connected_components validation, normalize_url, curation observe()).
     return {
-        # --- no driver row yet (round-1 tail) + the round-1 hash-fail fix ---
-        "minhash_portable_sig": _minhash_portable_sig,
-        "having_agg": _having_agg,
-        "pivot_events": _pivot_events,
-        "unpivot_part": _unpivot_part,
-        "posexplode_tokens": _posexplode_tokens,
-        "f_string_funcs2": _f_string_funcs2,
-        "bitwise_ops": _bitwise_ops,
-        "repetition_stats": _repetition_stats,
-        "scalar_subquery": _scalar_subquery,
-        "null_safe_eq": _null_safe_eq,
-        "string_agg_groups": _string_agg_groups,
-        "stratified_sample_docs": _stratified_sample_docs,
-        "hash_sample_rate": _hash_sample_rate,
-        "session_window_batch": _session_window_batch,
-        "simhash_portable": _simhash_portable,
-        "grouping_sets_id": _grouping_sets_id,
-        "stats_moments": _stats_moments,
-        "kmv_distinct": _kmv_distinct,
-        "pagerank_tpch": _pagerank_tpch,
-        "window_frames": _window_frames,
-        "top_terms_tfidf": _top_terms,
-        "motif_2hop": _motif_2hop,
-        "degree_histogram": _degree_histogram,
-        "approx_quantile_sampled": _approx_quantile_sampled,
-        "chunk_docs": _chunk_docs,
-        "collocations_docs": _collocations_docs,
-        "negative_samples_kg": _negative_samples_kg,
-        "redact_pii_docs": _redact_pii_docs,
+        # --- no-oracle queries, now self-verifying via _witnessed ---
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
-        "f_higher_order": _f_higher_order,
-        # --- new this round ---
-        "context_cards": _context_cards,
-        "x6_mentions_join": _x6_mentions_join,
-        "dense_index_docs": _dense_index_docs,
-        "minhash_dedup_portable": _minhash_dedup_portable,
-        "cc_components_tpch": _cc_components_tpch,
-        "url_normalize": _url_normalize,
-        "split_assign_docs": _split_assign_docs,
-        "pack_sequences": _pack_sequences,
-        "nfc_normalize": _nfc_normalize,
-        # --- already green in CORRECTNESS_r01 (rotating subset up front) ---
-        "q1_pricing_summary": _q1_pricing_summary,
-        "kg_nodes_tpch": _kg_nodes_tpch,
-        "kg_edges_tpch": _kg_edges_tpch,
-        "asof_join_events": _asof_join_events,
-        "x6_mentions": _x6_mentions,
-        "curation_pipeline": _curation_pipeline,
-        "s1_scan_projection": _s1_scan_projection,
-        "p2_rename_projection": _p2_rename_projection,
-        "p3_blank_filter": _p3_blank_filter,
+        # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
         "e1_explode_tokens": _e1_explode_tokens,
@@ -2482,6 +2487,55 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": _range_band_join,
         "f_date_funcs": _f_date_funcs,
         "percentile_stats": _percentile_stats,
+        # --- r02 greens whose code changed this round ---
+        "negative_samples_kg": _negative_samples_kg,
+        "dense_index_docs": _dense_index_docs,
+        "url_normalize": _url_normalize,
+        "cc_components_tpch": _cc_components_tpch,
+        "minhash_dedup_portable": _minhash_dedup_portable,
+        "curation_pipeline": _curation_pipeline,
+        "pagerank_tpch": _pagerank_tpch,
+        # --- green in r02, unchanged: rotate behind the window ---
+        "minhash_portable_sig": _minhash_portable_sig,
+        "having_agg": _having_agg,
+        "pivot_events": _pivot_events,
+        "unpivot_part": _unpivot_part,
+        "posexplode_tokens": _posexplode_tokens,
+        "f_string_funcs2": _f_string_funcs2,
+        "bitwise_ops": _bitwise_ops,
+        "repetition_stats": _repetition_stats,
+        "scalar_subquery": _scalar_subquery,
+        "null_safe_eq": _null_safe_eq,
+        "string_agg_groups": _string_agg_groups,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "hash_sample_rate": _hash_sample_rate,
+        "session_window_batch": _session_window_batch,
+        "simhash_portable": _simhash_portable,
+        "grouping_sets_id": _grouping_sets_id,
+        "stats_moments": _stats_moments,
+        "kmv_distinct": _kmv_distinct,
+        "window_frames": _window_frames,
+        "top_terms_tfidf": _top_terms,
+        "motif_2hop": _motif_2hop,
+        "degree_histogram": _degree_histogram,
+        "approx_quantile_sampled": _approx_quantile_sampled,
+        "chunk_docs": _chunk_docs,
+        "collocations_docs": _collocations_docs,
+        "redact_pii_docs": _redact_pii_docs,
+        "f_higher_order": _f_higher_order,
+        "context_cards": _context_cards,
+        "x6_mentions_join": _x6_mentions_join,
+        "split_assign_docs": _split_assign_docs,
+        "pack_sequences": _pack_sequences,
+        "nfc_normalize": _nfc_normalize,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "kg_nodes_tpch": _kg_nodes_tpch,
+        "kg_edges_tpch": _kg_edges_tpch,
+        "asof_join_events": _asof_join_events,
+        "x6_mentions": _x6_mentions,
+        "s1_scan_projection": _s1_scan_projection,
+        "p2_rename_projection": _p2_rename_projection,
+        "p3_blank_filter": _p3_blank_filter,
     }
 
 

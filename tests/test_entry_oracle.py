@@ -72,6 +72,36 @@ def test_rows_only_queries_run(spark, name):
     assert df.columns
 
 
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_no_oracle_queries_carry_passing_witness(spark, name):
+    """Every no-oracle query is self-verifying: its ``witness`` column must
+    read 'pass' on every row — an order-independent fingerprint of the
+    output matched the constant pinned from the deterministic fixtures.
+    A FAIL/unpinned value here means the algorithm's output drifted."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert "witness" in df.columns, f"{name} lacks a witness column"
+    verdicts = {r["witness"] for r in df.select("witness").distinct().collect()}
+    assert verdicts == {"pass"}, f"{name}: witness verdicts {verdicts}"
+
+
+def test_witness_detects_drift_and_unknown_input(spark):
+    """The witness machinery itself: a wrong pin surfaces FAIL (not pass),
+    and an unpinned input surfaces its fingerprint for pinning."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")] = (5, 12345)  # wrong hash
+    try:
+        out = entrymod._witnessed(df, "__wit_test__", SF_DIR)
+        v = {r["witness"] for r in out.select("witness").distinct().collect()}
+        assert len(v) == 1 and next(iter(v)).startswith("FAIL:want=5,12345;got=5,")
+    finally:
+        del entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")]
+    out = entrymod._witnessed(df, "__wit_test__", "/root/testdata/sf0.42")
+    v = {r["witness"] for r in out.select("witness").distinct().collect()}
+    assert len(v) == 1 and next(iter(v)).startswith("unpinned:5,")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
