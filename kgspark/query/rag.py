@@ -86,3 +86,40 @@ def retrieve_context(
             )
         )
     return {"parsed": parsed, "context": cards.assemble_context(card_dfs)}
+
+
+class ContextRetriever:
+    """Serving-loop wrapper around :func:`retrieve_context`: collects the
+    Disease entity dictionary ONCE at construction and reuses it for every
+    question — the analogue of the mention stage's broadcast dictionary
+    (a per-question dictionary collect is wasted work in a chat loop; the
+    dictionary only changes when the graph is republished, at which point
+    the caller builds a fresh retriever over the new snapshot).
+
+    >>> rc = ContextRetriever(nodes, edges)
+    >>> rc.ask("高血压有什么症状？")["context"]
+    """
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, seed: int | None = 42):
+        self.nodes = nodes
+        self.edges = edges
+        self.seed = seed
+        self.known_diseases = self._collect_diseases(nodes)
+
+    @staticmethod
+    def _collect_diseases(nodes: DataFrame) -> list[str]:
+        from pyspark.sql import functions as F
+
+        return [
+            r["name"]
+            for r in nodes.filter(F.col("label") == "Disease").select("name").collect()
+        ]
+
+    def ask(self, question: str) -> dict:
+        return retrieve_context(
+            self.nodes,
+            self.edges,
+            question,
+            known_diseases=self.known_diseases,
+            seed=self.seed,
+        )

@@ -104,3 +104,31 @@ def test_full_rag_context_for_all_demo_questions(graph):
 
     q4 = retrieve_context(nodes, edges, "今天天气怎么样")
     assert q4["context"] == c.EMPTY_CONTEXT
+
+
+def test_context_retriever_collects_dictionary_once(graph, monkeypatch):
+    """Serving loop (VERDICT r2 nit): ContextRetriever collects the Disease
+    dictionary exactly ONCE at construction and reuses it across questions —
+    no per-question dimension collect. Answers must equal the one-shot path."""
+    from kgspark.query import rag
+
+    nodes, edges = graph
+    calls = {"n": 0}
+    orig = rag.ContextRetriever._collect_diseases  # staticmethod -> plain function
+
+    def counting(nodes_df):
+        calls["n"] += 1
+        return orig(nodes_df)
+
+    monkeypatch.setattr(rag.ContextRetriever, "_collect_diseases", staticmethod(counting))
+    rc = rag.ContextRetriever(nodes, edges)
+    questions = [
+        "70岁高血压老人推荐买什么保险？",
+        "老年人糖尿病有哪些并发症？",
+        "今天天气怎么样",
+    ]
+    for q in questions:
+        got = rc.ask(q)
+        want = rag.retrieve_context(nodes, edges, q, known_diseases=rc.known_diseases)
+        assert got == want, q
+    assert calls["n"] == 1, f"dictionary collected {calls['n']}x, expected once"
