@@ -9,13 +9,14 @@ chunk stream, inflates IDAT with zlib, and un-applies the per-scanline
 filters (None/Sub/Up/Average/Paeth) into an (h, w, channels) uint8 pixel
 array — bit-depth-8, non-interlaced, color types 0/2/3/4/6 (the
 overwhelming web majority); ``decode_wav`` walks the RIFF chunks into
-float PCM samples (8/16/32-bit integer PCM). ``media_features``
-dispatches by magic bytes into a deterministic FEATURE_DIM stats vector
-(pixel stats for images, duration/rms/zcr/histogram for audio).
-Codec-dependent formats (JPEG entropy decode, MP4) remain STUBBED behind
-NotImplementedError (no codec libs in this container); ``fake=True``
-keeps the hash-derived stand-in for plumbing-only tests and undecodable
-payloads.
+float PCM samples (8/16/32-bit integer PCM); baseline-sequential JPEG
+decodes for real via ``kgspark.ops.jpeg`` (stdlib+numpy Huffman + IDCT).
+``media_features`` dispatches by magic bytes into a deterministic
+FEATURE_DIM stats vector (pixel stats for images, duration/rms/zcr/
+histogram for audio). The remaining codec-dependent formats (progressive
+JPEG, MP4) stay STUBBED behind NotImplementedError (no codec libs in this
+container); ``fake=True`` keeps the hash-derived stand-in for
+plumbing-only tests and undecodable payloads.
 """
 
 from __future__ import annotations
@@ -391,11 +392,12 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a deterministic FEATURE_DIM feature vector.
 
-    PNG payloads decode for REAL (``decode_png``) and yield pixel statistics:
+    PNG / GIF / baseline-JPEG payloads decode for REAL (``decode_png`` /
+    ``decode_gif`` / ``ops.jpeg.decode_jpeg``) and yield pixel statistics:
     [log1p(w), log1p(h), n_channels, per-channel means (4 slots),
     per-channel stds (4 slots), 5-bin luma histogram] — all in [0, ~22],
-    deterministic across runs and partitionings. Non-PNG payloads raise
-    NotImplementedError (JPEG entropy decode needs a codec library this
+    deterministic across runs and partitionings. Undecodable formats raise
+    NotImplementedError (MP4 / progressive JPEG need codec libraries this
     container lacks); ``fake=True`` derives an md5-seeded stand-in vector
     instead, keeping the distributed plumbing exercisable for any payload.
     """
@@ -408,9 +410,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _pixel_stats(decode_png(head))
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return _pixel_stats(decode_gif(head))
+    if head[:3] == b"\xff\xd8\xff":
+        from kgspark.ops.jpeg import decode_jpeg
+
+        return _pixel_stats(decode_jpeg(head))
     raise NotImplementedError(
-        "only PNG/GIF decode without codec libraries (this container has "
-        "none); pass fake=True for the deterministic stand-in on other formats"
+        "only PNG/GIF/baseline-JPEG decode without codec libraries (this "
+        "container has none); pass fake=True for the deterministic stand-in "
+        "on other formats (MP4, progressive JPEG)"
     )
 
 
@@ -438,7 +445,7 @@ def media_features(payload: bytes, fake: bool = False) -> np.ndarray:
     log1p(rate), channels, rms, peak, zero-crossing rate, 5-bin |amplitude|
     histogram] in the same FEATURE_DIM layout). Other formats raise
     NotImplementedError unless ``fake=True`` (hash-derived stand-in) —
-    JPEG/MP4 need codec libraries this container lacks."""
+    MP4 and progressive JPEG need codec libraries this container lacks."""
     if fake:
         return decode_image(payload, fake=True)
     head = bytes(payload or b"")

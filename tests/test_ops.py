@@ -967,3 +967,101 @@ def test_unicode_nfc_nfkc(spark):
         "doc_id", textstats.fingerprint(nfc_text(F.col("text"))).alias("f")
     ).collect()}
     assert fp[1] == fp[2]  # NFC-then-fingerprint collides the variants
+
+
+def test_jpeg_decode_roundtrip_444_and_gray():
+    """decode_jpeg is a REAL baseline decoder: with all-ones quantization
+    tables the only loss is DCT float rounding, so every sample lands
+    within 2/255 of the source (gray: 1, no color-transform rounding)."""
+    from kgspark.ops import jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    ones = np.ones(64, dtype=np.int64)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(px, luma_q=ones, chroma_q=ones))
+    assert got.shape == (24, 33, 3)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+    gray = rng.integers(0, 256, size=(17, 19), dtype=np.uint8)
+    got_g = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, luma_q=ones))
+    assert got_g.shape == (17, 19, 1)
+    assert np.abs(got_g[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_420_subsampled_and_restart_markers():
+    """4:2:0 chroma subsampling exercises the decoder's MCU/upsample path;
+    restart_interval emits DRI + RSTn markers and the decoder must
+    resynchronize (byte-align, reset DC predictors) at each one."""
+    from kgspark.ops import jpeg
+
+    ones = np.ones(64, dtype=np.int64)
+    yy, xx = np.mgrid[0:32, 0:40]
+    smooth = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 2 + 50) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    got = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(smooth, luma_q=ones, chroma_q=ones, subsample=True)
+    )
+    assert got.shape == (32, 40, 3)
+    assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 3
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    raw = jpeg.encode_jpeg(px, luma_q=ones, chroma_q=ones, restart_interval=3)
+    assert b"\xff\xdd" in raw  # DRI present
+    n_rst = sum(
+        raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7 for i in range(2, len(raw) - 2)
+    )
+    assert n_rst > 0
+    got_r = jpeg.decode_jpeg(raw)
+    assert np.abs(got_r.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_quality_knob_and_error_paths():
+    """quality= scales the Annex-K tables into a decodable lossy stream;
+    progressive SOF2 raises NotImplementedError; bad magic and
+    bomb-declared dimensions raise ValueError before allocation."""
+    import struct
+
+    from kgspark.ops import jpeg
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=75))
+    assert got.shape == (16, 16, 3)  # lossy but structurally intact
+
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"NOTAJPEG")
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(
+            b"\xff\xd8\xff\xc2"
+            + struct.pack(">H", 10)
+            + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+    bomb = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 60000, 60000)
+        + b"\x01\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        jpeg.decode_jpeg(bomb)
+
+
+def test_jpeg_media_features_dispatch():
+    """media_features routes FFD8FF magic to the real JPEG decoder and
+    returns the same pixel-stats vector as decoding directly."""
+    from kgspark.ops import jpeg
+
+    ones = np.ones(64, dtype=np.int64)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    raw = jpeg.encode_jpeg(px, luma_q=ones, chroma_q=ones)
+    feat = multimodal.media_features(raw)
+    expected = multimodal._pixel_stats(jpeg.decode_jpeg(raw))
+    assert feat.shape == (multimodal.FEATURE_DIM,)
+    assert np.allclose(feat, expected)
+    # dims ride the stats vector: log1p(w), log1p(h), channels
+    assert np.isclose(feat[0], np.log1p(24)) and np.isclose(feat[1], np.log1p(16))
+    assert feat[2] == 3.0
