@@ -161,8 +161,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Scope: baseline sequential Huffman (SOF0; SOF1 extended-sequential also
     accepted — same process, 8-bit), any integer sampling factors, restart
     intervals. Progressive (SOF2) raises NotImplementedError; malformed
-    streams raise ValueError.
+    streams raise ValueError — including truncation/corruption anywhere in
+    the marker or entropy stream (web crawls feed this untrusted bytes, so
+    no stdlib exception may escape as anything but ValueError).
     """
+    try:
+        return _decode_jpeg_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, StopIteration, OverflowError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG stream (bad magic)")

@@ -1065,3 +1065,35 @@ def test_jpeg_media_features_dispatch():
     # dims ride the stats vector: log1p(w), log1p(h), channels
     assert np.isclose(feat[0], np.log1p(24)) and np.isclose(feat[1], np.log1p(16))
     assert feat[2] == 3.0
+
+
+def test_jpeg_decoder_untrusted_bytes_raise_valueerror_only():
+    """Web crawls feed the decoder untrusted bytes: every truncation,
+    single-byte corruption, and random-garbage stream must raise
+    ValueError/NotImplementedError — no stdlib exception (IndexError,
+    KeyError, struct.error, ...) may escape, and nothing may hang."""
+    from kgspark.ops import jpeg
+
+    rng = np.random.default_rng(0)
+    ones = np.ones(64, dtype=np.int64)
+    base = jpeg.encode_jpeg(
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        luma_q=ones,
+        chroma_q=ones,
+    )
+    for cut in range(4, len(base), 5):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(base[:cut])
+    for i in range(2, len(base), 5):
+        flipped = bytearray(base)
+        flipped[i] ^= 0xFF
+        try:
+            jpeg.decode_jpeg(bytes(flipped))
+        except (ValueError, NotImplementedError):
+            pass  # most flips corrupt the stream; a few land in ignorable bits
+    for _ in range(200):
+        garbage = b"\xff\xd8\xff" + bytes(
+            rng.integers(0, 256, size=int(rng.integers(1, 300))).astype(np.uint8)
+        )
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(garbage)
