@@ -66,6 +66,8 @@ _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
     ("minhash_dedup_docs", "sf0.01"): (500, -5501486792301817208),
     ("simhash_docs", "sf0.01"): (496, 7557581626628527616),
     ("openie_web_corpus", "sf0.01"): (528, -54864093808351467),
+    ("media_decode_features", "sf0.001"): (40, 3662280273880855102),
+    ("media_decode_features", "sf0.01"): (40, 3662280273880855102),
 }
 
 
@@ -2416,6 +2418,36 @@ def _openie_web_corpus(spark, sf):
     return _witnessed(out, "openie_web_corpus", sf)
 
 
+def _media_decode_features(spark, sf):
+    """REAL media decode end to end: executor-generated deterministic
+    payloads (baseline JPEG 4:4:4 / 4:2:0+restart, PNG, GIF, WAV) ->
+    JVM-side magic sniff -> real Arrow-batched decode into pixel/audio
+    stats. Entropy decoding is not SQL-expressible, so the hard verdict is
+    the pinned golden-hash ``witness`` (input is sf-independent, like
+    ``openie_web_corpus``). Feature floats are rounded to 5 decimals before
+    fingerprinting."""
+    from kgspark.ops.multimodal import (
+        extract_features,
+        make_decodable_media,
+        sniff_media_meta,
+    )
+
+    media = make_decodable_media(spark, 40)
+    sniff = sniff_media_meta(media).select(
+        "media_id", F.col("sniffed.mime").alias("mime")
+    )
+    feats = extract_features(media, fake=False)
+    out = feats.join(sniff, "media_id").select(
+        "media_id",
+        "kind",
+        "mime",
+        F.transform("feature", lambda x: F.round(x.cast("double"), 5)).alias(
+            "feature_q"
+        ),
+    )
+    return _witnessed(out, "media_decode_features", sf)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -2446,6 +2478,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
+        "media_decode_features": _media_decode_features,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -2494,8 +2527,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components_tpch": _cc_components_tpch,
         "minhash_dedup_portable": _minhash_dedup_portable,
         "curation_pipeline": _curation_pipeline,
+        # --- green in r02, unchanged code: rotate behind the window ---
+        # (pagerank_tpch moved here: graph_algs.py is untouched since r02 and
+        #  its slot makes room for media_decode_features in the checked 50)
         "pagerank_tpch": _pagerank_tpch,
-        # --- green in r02, unchanged: rotate behind the window ---
         "minhash_portable_sig": _minhash_portable_sig,
         "having_agg": _having_agg,
         "pivot_events": _pivot_events,

@@ -579,6 +579,58 @@ def make_fake_media(spark, n: int) -> DataFrame:
     )
 
 
+def make_decodable_media(spark, n: int) -> DataFrame:
+    """Deterministic media table whose payloads REALLY decode: row ``i``
+    is generated executor-side (mapInPandas over ``spark.range`` — no
+    driver-side byte shipping, scales with partitions) from an id-seeded
+    RNG, cycling through the real codecs: baseline JPEG 4:4:4, JPEG 4:2:0
+    with restart markers, PNG (Paeth filter), GIF, and PCM WAV. Same id ->
+    same bytes on every executor, run, and partitioning."""
+    from kgspark.ops.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                h, w = 8 + i % 5, 8 + i % 7
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                ones = np.ones(64, dtype=np.int64)
+                fmt = i % 5
+                if fmt == 0:
+                    payloads.append(encode_jpeg(px, luma_q=ones, chroma_q=ones))
+                    kinds.append("image")
+                elif fmt == 1:
+                    payloads.append(
+                        encode_jpeg(
+                            px, luma_q=ones, chroma_q=ones, subsample=True,
+                            restart_interval=2,
+                        )
+                    )
+                    kinds.append("image")
+                elif fmt == 2:
+                    payloads.append(encode_png(px, filter_type=4))
+                    kinds.append("image")
+                elif fmt == 3:
+                    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+                    idx = rng.integers(0, 8, size=(h, w), dtype=np.uint8)
+                    payloads.append(encode_gif(idx, pal))
+                    kinds.append("image")
+                else:
+                    t = np.arange(800) / 8000.0
+                    wave = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+                    payloads.append(encode_wav(wave[:, None], 8000))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "kind": kinds, "payload": payloads}
+            )
+
+    return spark.range(n).mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+
+
 def sniff_media_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Magic-byte container sniffing + header dimension parsing — REAL (not
     stubbed) and entirely JVM-side: ``substring``/``hex``/``conv`` on the

@@ -19,7 +19,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as E  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-WITNESSED = ["minhash_dedup_docs", "simhash_docs", "openie_web_corpus"]
+WITNESSED = [
+    "minhash_dedup_docs",
+    "simhash_docs",
+    "openie_web_corpus",
+    "media_decode_features",
+]
 
 
 def main() -> None:
