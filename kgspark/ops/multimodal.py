@@ -56,6 +56,28 @@ FEATURE_DIM = 16
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _untrusted(fn):
+    """Crawl-scale decode policy: a malformed payload may only raise
+    ValueError (or NotImplementedError for out-of-scope shapes) — stdlib
+    leakage (struct.error, zlib.error, IndexError, ...) would crash the
+    caller's per-payload except-ValueError routing and fail the whole Arrow
+    batch. Fuzz-enforced in tests."""
+
+    def wrapped(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except (IndexError, KeyError, OverflowError, struct.error, zlib.error) as e:
+            raise ValueError(
+                f"malformed {fn.__name__[7:]} stream ({type(e).__name__}: {e})"
+            ) from e
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Decompression-bomb guard: web-crawl payloads are untrusted, and a few-KB
@@ -66,6 +88,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _MAX_DECODED_BYTES = 1 << 28
 
 
+@_untrusted
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL stdlib PNG decode: chunk parse -> zlib inflate -> scanline
     unfilter -> (h, w, channels) uint8 pixels (palette images expand to RGB).
@@ -209,6 +232,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_output: int | None = None) 
 _GIF_DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_untrusted
 def decode_gif(payload: bytes) -> np.ndarray:
     """REAL stdlib GIF decode: first frame -> (h, w, 3) uint8 RGB pixels
     (LZW inflate + palette expansion; interlaced frames are deinterlaced).
@@ -328,6 +352,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray, interlaced: bool = Fals
     return bytes(out)
 
 
+@_untrusted
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL stdlib WAV decode: RIFF chunk walk -> PCM samples.
 

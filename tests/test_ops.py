@@ -1097,3 +1097,50 @@ def test_jpeg_decoder_untrusted_bytes_raise_valueerror_only():
         )
         with pytest.raises((ValueError, NotImplementedError)):
             jpeg.decode_jpeg(garbage)
+
+
+def test_png_gif_wav_untrusted_bytes_raise_valueerror_only():
+    """Same crawl-scale policy as the JPEG decoder: truncations, bit flips,
+    and garbage after a valid magic must surface as ValueError /
+    NotImplementedError from every decoder — stdlib zlib.error /
+    struct.error / IndexError leakage would fail whole Arrow batches."""
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(12, 14, 3), dtype=np.uint8)
+    cases = [
+        (multimodal.encode_png(px, filter_type=4), multimodal.decode_png),
+        (
+            multimodal.encode_gif(
+                rng.integers(0, 8, size=(10, 12), dtype=np.uint8),
+                rng.integers(0, 256, size=(8, 3), dtype=np.uint8),
+            ),
+            multimodal.decode_gif,
+        ),
+        (
+            multimodal.encode_wav(
+                (0.3 * np.sin(np.arange(500) / 10))[:, None], 8000
+            ),
+            multimodal.decode_wav,
+        ),
+    ]
+    for base, fn in cases:
+        for cut in range(4, len(base), 5):
+            try:
+                fn(base[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # truncation past the needed prefix may still decode
+        for i in range(2, len(base), 5):
+            flipped = bytearray(base)
+            flipped[i] ^= 0xFF
+            try:
+                fn(bytes(flipped))
+            except (ValueError, NotImplementedError):
+                pass  # some flips land in ignorable bits and still decode
+        for _ in range(100):
+            garbage = bytes(base[:6]) + bytes(
+                rng.integers(0, 256, size=int(rng.integers(1, 150))).astype(np.uint8)
+            )
+            try:
+                fn(garbage)
+            except (ValueError, NotImplementedError):
+                pass  # random tails occasionally form a decodable stream
+        fn(base)  # the valid stream still decodes through the guard
