@@ -68,6 +68,8 @@ _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
     ("openie_web_corpus", "sf0.01"): (528, -54864093808351467),
     ("media_decode_features", "sf0.001"): (40, 3662280273880855102),
     ("media_decode_features", "sf0.01"): (40, 3662280273880855102),
+    ("phash_neardup_media", "sf0.001"): (20, -1268688127524016894),
+    ("phash_neardup_media", "sf0.01"): (20, -1268688127524016894),
 }
 
 
@@ -2448,6 +2450,19 @@ def _media_decode_features(spark, sf):
     return _witnessed(out, "media_decode_features", sf)
 
 
+def _phash_neardup_media(spark, sf):
+    """Image near-dup dedup: DCT perceptual hash over REALLY-decoded
+    payloads (planted near-dups: same pixels as PNG and as JPEG q88), then
+    the text-SimHash banding machinery for the Hamming join. Decode isn't
+    SQL-expressible -> pinned golden-hash witness; the planted-pair recall
+    is additionally asserted in pytest."""
+    from kgspark.ops.phash import make_neardup_media, phash_neardup_pairs, with_phash
+
+    media = make_neardup_media(spark, 20)
+    pairs = phash_neardup_pairs(with_phash(media), max_hamming=6)
+    return _witnessed(pairs, "phash_neardup_media", sf)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -2479,6 +2494,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
         "media_decode_features": _media_decode_features,
+        "phash_neardup_media": _phash_neardup_media,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -2525,12 +2541,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_index_docs": _dense_index_docs,
         "url_normalize": _url_normalize,
         "cc_components_tpch": _cc_components_tpch,
-        "minhash_dedup_portable": _minhash_dedup_portable,
         "curation_pipeline": _curation_pipeline,
         # --- green in r02, unchanged code: rotate behind the window ---
-        # (pagerank_tpch moved here: graph_algs.py is untouched since r02 and
-        #  its slot makes room for media_decode_features in the checked 50)
+        # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
+        #  and dedup.py are untouched since r02; their slots make room for
+        #  media_decode_features and phash_neardup_media in the checked 50)
         "pagerank_tpch": _pagerank_tpch,
+        "minhash_dedup_portable": _minhash_dedup_portable,
         "minhash_portable_sig": _minhash_portable_sig,
         "having_agg": _having_agg,
         "pivot_events": _pivot_events,

@@ -430,15 +430,22 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         digest = hashlib.md5(payload or b"").digest()
         raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
         return (raw.astype(np.float64) / float(2**32)).astype(np.float32)
+    return _pixel_stats(decode_image_pixels(payload))
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch into the REAL decoders: PNG / GIF /
+    baseline-JPEG payload -> (h, w, channels) uint8 pixels. Other formats
+    raise NotImplementedError; malformed streams ValueError."""
     head = bytes(payload or b"")
     if head.startswith(_PNG_MAGIC):
-        return _pixel_stats(decode_png(head))
+        return decode_png(head)
     if head[:6] in (b"GIF87a", b"GIF89a"):
-        return _pixel_stats(decode_gif(head))
+        return decode_gif(head)
     if head[:3] == b"\xff\xd8\xff":
         from kgspark.ops.jpeg import decode_jpeg
 
-        return _pixel_stats(decode_jpeg(head))
+        return decode_jpeg(head)
     raise NotImplementedError(
         "only PNG/GIF/baseline-JPEG decode without codec libraries (this "
         "container has none); pass fake=True for the deterministic stand-in "

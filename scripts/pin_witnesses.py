@@ -24,6 +24,7 @@ WITNESSED = [
     "simhash_docs",
     "openie_web_corpus",
     "media_decode_features",
+    "phash_neardup_media",
 ]
 
 

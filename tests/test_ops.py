@@ -1144,3 +1144,63 @@ def test_png_gif_wav_untrusted_bytes_raise_valueerror_only():
             except (ValueError, NotImplementedError):
                 pass  # random tails occasionally form a decodable stream
         fn(base)  # the valid stream still decodes through the guard
+
+
+def test_phash_kernel_invariance_and_discrimination():
+    """DCT pHash: re-encoding the same picture (PNG -> JPEG q90, 4:2:0)
+    moves <= 4 bits and mild noise <= 12, while unrelated pictures differ
+    by ~32 of 64 bits — the margin the banded Hamming join relies on."""
+    from kgspark.ops import multimodal
+    from kgspark.ops.jpeg import encode_jpeg
+    from kgspark.ops.phash import phash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(yy / 9.0) * np.cos(xx / 13.0),
+            128 + 90 * np.cos(yy / 7.0 + 1),
+            128 + 80 * np.sin((xx + yy) / 11.0),
+        ],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    base = phash64(multimodal.encode_png(img))
+    assert ham(base, phash64(encode_jpeg(img, quality=90))) <= 4
+    assert ham(base, phash64(encode_jpeg(img, quality=85, subsample=True))) <= 4
+    noisy = np.clip(img.astype(int) + rng.integers(-8, 9, img.shape), 0, 255)
+    assert ham(base, phash64(multimodal.encode_png(noisy.astype(np.uint8)))) <= 12
+    img2 = np.stack(
+        [128 + 100 * np.cos(yy / 5.0) * np.sin(xx / 8.0), (xx * 3) % 256, (yy * 4) % 256],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    assert ham(base, phash64(multimodal.encode_png(img2))) >= 20
+    # fake tier is deterministic and payload-derived
+    assert phash64(b"zz", fake=True) == phash64(b"zz", fake=True)
+
+
+def test_phash_neardup_pairs_spark(spark):
+    """Planted near-dups (same pixels, PNG vs JPEG q88) are all recovered
+    by the banded Hamming join; undecodable payloads hash to NULL and are
+    excluded rather than failing the batch."""
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.phash import make_neardup_media, phash_neardup_pairs, with_phash
+
+    n = 12
+    media = make_neardup_media(spark, n)
+    # splice in an undecodable payload: must not break the stage
+    junk = spark.range(1).select(
+        (F.lit(10_000)).alias("media_id"),
+        F.lit(bytearray(b"\xff\xd8\xffgarbage")).cast("binary").alias("payload"),
+    )
+    hashed = with_phash(media.unionByName(junk))
+    assert hashed.filter("phash IS NULL").count() == 1
+    got = {
+        (r["a"], r["b"])
+        for r in phash_neardup_pairs(hashed, max_hamming=6).collect()
+    }
+    planted = {(i, i + n) for i in range(n)}
+    assert planted <= got
