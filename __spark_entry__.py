@@ -70,6 +70,8 @@ _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
     ("media_decode_features", "sf0.01"): (40, 3662280273880855102),
     ("phash_neardup_media", "sf0.001"): (20, -1268688127524016894),
     ("phash_neardup_media", "sf0.01"): (20, -1268688127524016894),
+    ("mp4_container_meta", "sf0.001"): (24, -2088920988574997881),
+    ("mp4_container_meta", "sf0.01"): (24, -2088920988574997881),
 }
 
 
@@ -2463,6 +2465,35 @@ def _phash_neardup_media(spark, sf):
     return _witnessed(pairs, "phash_neardup_media", sf)
 
 
+def _mp4_container_meta(spark, sf):
+    """REAL MP4 container parsing (ftyp/moov box walk -> duration, track
+    geometry, codec fourcc; only codec frame decode is stubbed) over
+    executor-generated deterministic box trees. Box parsing isn't
+    SQL-expressible -> pinned golden-hash witness."""
+    import pandas as pd
+
+    from kgspark.ops.mp4 import encode_mp4_stub, mp4_meta
+
+    codecs = ["avc1", "hvc1", "av01", "vp09"]
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                encode_mp4_stub(
+                    duration_ms=1000 + 777 * int(i),
+                    width=320 + 16 * int(i),
+                    height=180 + 9 * int(i),
+                    codec=codecs[int(i) % 4],
+                    audio=bool(int(i) % 2),
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["id"], "payload": payloads})
+
+    media = spark.range(24).mapInPandas(gen, schema="media_id long, payload binary")
+    return _witnessed(mp4_meta(media), "mp4_container_meta", sf)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -2542,6 +2573,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _url_normalize,
         "cc_components_tpch": _cc_components_tpch,
         "curation_pipeline": _curation_pipeline,
+        # --- NEW in r03, behind the window (every checked-50 slot is needed
+        #     by changed-code or aging-green entries; pytest's entry-oracle
+        #     rehearsal verifies its witness; r04 MUST front it) ---
+        "mp4_container_meta": _mp4_container_meta,
         # --- green in r02, unchanged code: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
         #  and dedup.py are untouched since r02; their slots make room for

@@ -449,7 +449,9 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "only PNG/GIF/baseline-JPEG decode without codec libraries (this "
         "container has none); pass fake=True for the deterministic stand-in "
-        "on other formats (MP4, progressive JPEG)"
+        "on other formats (MP4 container metadata parses for real via "
+        "ops.mp4.parse_mp4_meta; frame decode and progressive JPEG stay "
+        "codec-stubbed)"
     )
 
 

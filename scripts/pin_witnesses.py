@@ -25,6 +25,7 @@ WITNESSED = [
     "openie_web_corpus",
     "media_decode_features",
     "phash_neardup_media",
+    "mp4_container_meta",
 ]
 
 

@@ -1204,3 +1204,61 @@ def test_phash_neardup_pairs_spark(spark):
     }
     planted = {(i, i + n) for i in range(n)}
     assert planted <= got
+
+
+def test_mp4_container_parse_roundtrip_and_policy():
+    """MP4 box parsing is REAL (only codec frame decode is stubbed): the
+    fixture encoder's brand, movie/track durations, geometry, and codec
+    fourccs all read back; malformed/truncated/garbage streams raise
+    ValueError only (same untrusted-bytes policy as the other decoders)."""
+    from kgspark.ops import mp4
+
+    raw = mp4.encode_mp4_stub(duration_ms=5432, width=1280, height=720, codec="hvc1")
+    meta = mp4.parse_mp4_meta(raw)
+    assert meta["brand"] == "isom" and meta["duration_ms"] == 5432
+    video = next(t for t in meta["tracks"] if t["kind"] == "video")
+    audio = next(t for t in meta["tracks"] if t["kind"] == "audio")
+    assert (video["width"], video["height"], video["codec"]) == (1280, 720, "hvc1")
+    assert audio["codec"] == "mp4a" and audio["duration_ms"] == 5432
+    assert len(mp4.parse_mp4_meta(mp4.encode_mp4_stub(audio=False))["tracks"]) == 1
+
+    with pytest.raises(NotImplementedError):
+        mp4.decode_mp4_frames(raw)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4_meta(b"NOTANMP4STREAM!!")
+    rng = np.random.default_rng(4)
+    for cut in range(4, len(raw), 7):
+        try:
+            mp4.parse_mp4_meta(raw[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(200):
+        garbage = raw[:8] + bytes(
+            rng.integers(0, 256, size=int(rng.integers(1, 250))).astype(np.uint8)
+        )
+        try:
+            mp4.parse_mp4_meta(garbage)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_mp4_meta_spark_stage(spark):
+    """mp4_meta extracts container metadata distributed; non-MP4 payloads
+    yield NULL metadata rows instead of failing the Arrow batch."""
+    from pyspark.sql import Row
+
+    from kgspark.ops import mp4
+
+    rows = [
+        Row(media_id=0, payload=bytearray(mp4.encode_mp4_stub(duration_ms=1500, width=640, height=360))),
+        Row(media_id=1, payload=bytearray(mp4.encode_mp4_stub(duration_ms=90_000, width=1920, height=1080, codec="av01", audio=False))),
+        Row(media_id=2, payload=bytearray(b"junk-not-a-video")),
+        Row(media_id=3, payload=None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mp4.mp4_meta(media).collect()}
+    assert got[0]["duration_ms"] == 1500 and got[0]["video_codec"] == "avc1"
+    assert got[0]["n_tracks"] == 2 and (got[0]["width"], got[0]["height"]) == (640, 360)
+    assert got[1]["duration_ms"] == 90_000 and got[1]["video_codec"] == "av01"
+    assert got[1]["n_tracks"] == 1
+    assert got[2]["brand"] is None and got[3]["duration_ms"] is None
