@@ -72,6 +72,8 @@ _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
     ("phash_neardup_media", "sf0.01"): (20, -1268688127524016894),
     ("mp4_container_meta", "sf0.001"): (24, -2088920988574997881),
     ("mp4_container_meta", "sf0.01"): (24, -2088920988574997881),
+    ("audiohash_neardup", "sf0.001"): (20, 5478906334128815275),
+    ("audiohash_neardup", "sf0.01"): (20, 5478906334128815275),
 }
 
 
@@ -2494,6 +2496,22 @@ def _mp4_container_meta(spark, sf):
     return _witnessed(mp4_meta(media), "mp4_container_meta", sf)
 
 
+def _audiohash_neardup(spark, sf):
+    """Audio near-dup dedup: spectral-presence hash over REALLY-decoded WAV
+    (planted near-dups: same tone mixture at 60% amplitude requantized to
+    8-bit), candidates via the text-SimHash banding machinery. FFT decode
+    isn't SQL-expressible -> pinned golden-hash witness."""
+    from kgspark.ops.audiohash import (
+        audiohash_neardup_pairs,
+        make_neardup_audio,
+        with_audiohash,
+    )
+
+    media = make_neardup_audio(spark, 16)
+    pairs = audiohash_neardup_pairs(with_audiohash(media), max_hamming=2)
+    return _witnessed(pairs, "audiohash_neardup", sf)
+
+
 def _shipped(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
@@ -2577,6 +2595,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     by changed-code or aging-green entries; pytest's entry-oracle
         #     rehearsal verifies its witness; r04 MUST front it) ---
         "mp4_container_meta": _mp4_container_meta,
+        "audiohash_neardup": _audiohash_neardup,
         # --- green in r02, unchanged code: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
         #  and dedup.py are untouched since r02; their slots make room for

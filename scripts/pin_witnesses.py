@@ -26,6 +26,7 @@ WITNESSED = [
     "media_decode_features",
     "phash_neardup_media",
     "mp4_container_meta",
+    "audiohash_neardup",
 ]
 
 

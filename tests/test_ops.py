@@ -1262,3 +1262,69 @@ def test_mp4_meta_spark_stage(spark):
     assert got[1]["duration_ms"] == 90_000 and got[1]["video_codec"] == "av01"
     assert got[1]["n_tracks"] == 1
     assert got[2]["brand"] is None and got[3]["duration_ms"] is None
+
+
+def test_audiohash_invariance_and_discrimination():
+    """Spectral-presence audio hash: amplitude rescaling, 8-bit
+    requantization, and mild noise flip ZERO bits on tonal content, while
+    unrelated tone mixtures differ in >= 4 bits."""
+    from kgspark.ops.audiohash import audiohash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    rng = np.random.default_rng(5)
+
+    def clip(freqs, amps, scale=1.0, bits=16):
+        w = sum(
+            a * np.sin(2 * np.pi * f * t + 0.3 * k)
+            for k, (a, f) in enumerate(zip(amps, freqs))
+        ) / 2.0 * scale
+        if bits == 8:
+            w = np.round(w * 127.0) / 127.0
+        return multimodal.encode_wav(w[:, None], rate)
+
+    f1, a1 = [440.0, 1200.0, 2500.0], [0.4, 0.3, 0.25]
+    base = audiohash64(clip(f1, a1))
+    assert ham(base, audiohash64(clip(f1, a1, scale=0.6, bits=8))) == 0
+    assert ham(base, audiohash64(clip(f1, a1, scale=0.3))) == 0
+    w = sum(
+        a * np.sin(2 * np.pi * f * t + 0.3 * k)
+        for k, (a, f) in enumerate(zip(a1, f1))
+    ) / 2.0
+    noisy = multimodal.encode_wav((w + rng.normal(0, 0.01, w.shape))[:, None], rate)
+    assert ham(base, audiohash64(noisy)) <= 2
+    other = audiohash64(clip([300.0, 900.0, 3100.0], [0.35, 0.3, 0.3]))
+    assert ham(base, other) >= 4
+    with pytest.raises(ValueError):
+        audiohash64(multimodal.encode_wav(np.zeros((10, 1)), rate))  # < one frame
+    assert audiohash64(b"zz", fake=True) == audiohash64(b"zz", fake=True)
+
+
+def test_audiohash_neardup_pairs_spark(spark):
+    """Planted audio near-dups (same tones at 60% amplitude, 8-bit) are
+    all recovered by the banded Hamming join; junk payloads hash to NULL."""
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.audiohash import (
+        audiohash_neardup_pairs,
+        make_neardup_audio,
+        with_audiohash,
+    )
+
+    n = 10
+    media = make_neardup_audio(spark, n)
+    junk = spark.range(1).select(
+        F.lit(10_000).alias("media_id"),
+        F.lit(bytearray(b"RIFFxxxxWAVEjunk")).cast("binary").alias("payload"),
+    )
+    hashed = with_audiohash(media.unionByName(junk))
+    assert hashed.filter("audiohash IS NULL").count() == 1
+    got = {
+        (r["a"], r["b"])
+        for r in audiohash_neardup_pairs(hashed, max_hamming=2).collect()
+    }
+    planted = {(i, i + n) for i in range(n)}
+    assert planted <= got
