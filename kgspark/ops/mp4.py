@@ -213,6 +213,30 @@ def encode_mp4_stub(
     return ftyp + moov + mdat
 
 
+def frame_sample_plan_mp4(
+    media: DataFrame, every_ms: int = 1000, payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling plan driven by REAL container durations: parse
+    each payload's moov metadata, keep video tracks, and emit one row per
+    (media_id, frame_ts_ms) — the sampling schedule a codec-equipped
+    deployment feeds to the (stubbed) frame decoder. JVM-side explode over
+    the parsed durations; same contract as ``multimodal.frame_sample_plan``
+    but without trusting caller-supplied metadata."""
+    from pyspark.sql import functions as F
+
+    meta = mp4_meta(media, payload_col=payload_col, id_col=id_col)
+    return meta.filter(
+        F.col("video_codec").isNotNull() & (F.col("duration_ms") > 0)
+    ).select(
+        id_col,
+        "video_codec",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
 def mp4_meta(media: DataFrame, payload_col: str = "payload",
              id_col: str = "media_id") -> DataFrame:
     """(id, payload) -> parsed container metadata columns, one Arrow-batched

@@ -1328,3 +1328,23 @@ def test_audiohash_neardup_pairs_spark(spark):
     }
     planted = {(i, i + n) for i in range(n)}
     assert planted <= got
+
+
+def test_frame_sample_plan_mp4_uses_parsed_durations(spark):
+    """The frame-sampling plan reads durations from the REAL container
+    parse (not caller metadata): a 3.5 s video yields frames at 0..3500 ms,
+    audio-only and junk payloads contribute no rows."""
+    from pyspark.sql import Row
+
+    from kgspark.ops import mp4
+
+    rows = [
+        Row(media_id=0, payload=bytearray(mp4.encode_mp4_stub(duration_ms=3500))),
+        Row(media_id=1, payload=bytearray(b"not a video")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = mp4.frame_sample_plan_mp4(media, every_ms=1000).collect()
+    assert {(r["media_id"], r["frame_ts_ms"]) for r in got} == {
+        (0, 0), (0, 1000), (0, 2000), (0, 3000)
+    }
+    assert all(r["video_codec"] == "avc1" for r in got)
