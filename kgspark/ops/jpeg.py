@@ -6,10 +6,13 @@ decoder implements the ITU T.81 baseline process: marker parse -> Huffman
 entropy decode (DC diff + AC run/size, byte unstuffing, restart markers) ->
 dequantize -> inverse zigzag -> 2-D IDCT (orthonormal DCT-II matrix pair) ->
 level shift -> chroma upsample (any integer sampling factors, 4:4:4 and
-4:2:0 covered by tests) -> YCbCr->RGB. Progressive (SOF2) and arithmetic
-coding raise NotImplementedError — route those to a codec library on a
-real deployment; everything here is deterministic (same bytes -> same
-pixels on every executor).
+4:2:0 covered by tests) -> YCbCr->RGB. Progressive (SOF2) also decodes:
+spectral-selection + successive-approximation scans (DC first/refine,
+AC first/refine with EOB runs, T.81 Annex G) accumulate into per-component
+coefficient planes reconstructed at EOI. Arithmetic coding and hierarchical
+modes raise NotImplementedError — route those to a codec library on a real
+deployment; everything here is deterministic (same bytes -> same pixels on
+every executor).
 
 ``encode_jpeg`` is the fixture/egress counterpart: a spec-valid baseline
 encoder (4:4:4 or 4:2:0, per-image canonical Huffman tables emitted in
@@ -159,8 +162,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, 3) uint8 RGB (or (h, w, 1) for grayscale).
 
     Scope: baseline sequential Huffman (SOF0; SOF1 extended-sequential also
-    accepted — same process, 8-bit), any integer sampling factors, restart
-    intervals. Progressive (SOF2) raises NotImplementedError; malformed
+    accepted — same process, 8-bit), progressive Huffman (SOF2, all four
+    scan types), any integer sampling factors, restart intervals.
+    Arithmetic/hierarchical modes raise NotImplementedError; malformed
     streams raise ValueError — including truncation/corruption anywhere in
     the marker or entropy stream (web crawls feed this untrusted bytes, so
     no stdlib exception may escape as anything but ValueError).
@@ -173,6 +177,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG stream ({type(e).__name__}: {e})") from e
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past any residual entropy/pad/fill bytes to the next real
+    marker (0xFF followed by a non-0x00, non-fill byte)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if nxt != 0x00:
+                return pos
+            pos += 2  # stuffed data byte
+        else:
+            pos += 1
+    raise ValueError("JPEG truncated while seeking next marker")
+
+
 def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:3] != b"\xff\xd8\xff":
@@ -182,15 +204,19 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(comp_id, hi, vi, tq), ...])
+    progressive = False
+    coeffs = None  # progressive: per-comp (blocks_y, blocks_x, 64) zigzag int32
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and coeffs is not None:
+                return _reconstruct(frame, coeffs, qtables)
             break
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
@@ -205,7 +231,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 else:  # 16-bit table
                     qtables[tq] = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
                     i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} (8-bit only)")
@@ -219,12 +245,20 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) needs a codec library; baseline only"
-            )
+            if marker == 0xC2:
+                progressive = True
+                h_max = max(c[1] for c in comps)
+                v_max = max(c[2] for c in comps)
+                mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+                mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+                coeffs = [
+                    np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int32)
+                    for c in comps
+                ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} not baseline")
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (baseline/progressive huffman only)"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -246,12 +280,223 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(i for i, c in enumerate(comps) if c[0] == cs)
                 scan.append((ci, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, dc_tables, ac_tables,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, dc_tables, ac_tables,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            end = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, coeffs, dc_tables, ac_tables,
+                ss, se, ah_al >> 4, ah_al & 0x0F, restart_interval,
             )
+            pos = _next_marker(data, end) - 2  # loop adds seglen below
+            seglen = 2
         pos += seglen
     raise ValueError("JPEG contains no scan data")
+
+
+def _decode_progressive_scan(
+    data, start, frame, scan, coeffs, dc_tables, ac_tables,
+    ss, se, ah, al, restart_interval,
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    single-component) or AC first/refine (single-component only, per spec).
+    Mutates ``coeffs`` in place; returns the stream position where the
+    entropy data ended."""
+    h, w, comps = frame
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+    reader = _BitReader(data, start)
+    eobrun = [0]
+    preds = [0] * len(comps)
+
+    def check_tables(dc_id, ac_id):
+        if ss == 0 and ah == 0 and dc_tables.get(dc_id) is None:
+            raise ValueError("JPEG scan references missing DC Huffman table")
+        if ss > 0 and ac_tables.get(ac_id) is None:
+            raise ValueError("JPEG scan references missing AC Huffman table")
+
+    def restart():
+        reader.sync_restart()
+        eobrun[0] = 0
+        for i in range(len(preds)):
+            preds[i] = 0
+
+    if ss == 0:  # DC scan (Se must be 0); interleaved or single-component
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scan) > 1:  # interleaved MCU order
+            unit_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit_count and unit_count % restart_interval == 0:
+                        restart()
+                    unit_count += 1
+                    for ci, dc_id, ac_id in scan:
+                        check_tables(dc_id, ac_id)
+                        _, hi, vi, _tq = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blk = coeffs[ci][my * vi + by, mx * hi + bx]
+                                _dc_unit(reader, dc_tables.get(dc_id), blk, ah, al, preds, ci)
+        else:
+            ci, dc_id, ac_id = scan[0]
+            check_tables(dc_id, ac_id)
+            bh, bw = _comp_block_dims(frame, ci)
+            unit_count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit_count and unit_count % restart_interval == 0:
+                        restart()
+                    unit_count += 1
+                    _dc_unit(reader, dc_tables.get(dc_id), coeffs[ci][by, bx], ah, al, preds, ci)
+    else:  # AC scan: single component, non-interleaved block order
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, dc_id, ac_id = scan[0]
+        check_tables(dc_id, ac_id)
+        act = ac_tables.get(ac_id)
+        bh, bw = _comp_block_dims(frame, ci)
+        unit_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    restart()
+                unit_count += 1
+                blk = coeffs[ci][by, bx]
+                if ah == 0:
+                    _ac_first_unit(reader, act, blk, ss, se, al, eobrun)
+                else:
+                    _ac_refine_unit(reader, act, blk, ss, se, al, eobrun)
+    return reader.pos
+
+
+def _comp_block_dims(frame, ci):
+    """Block rows/cols of a component in NON-interleaved scan order:
+    ceil(scaled dimension / 8), not padded to the MCU grid (T.81 A.2.2)."""
+    h, w, comps = frame
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    _, hi, vi, _tq = comps[ci]
+    cw = (w * hi + h_max - 1) // h_max
+    ch = (h * vi + v_max - 1) // v_max
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _dc_unit(reader, dct, blk, ah, al, preds, ci):
+    if ah == 0:  # first pass: huffman-coded diff at precision Al
+        t = reader.decode_symbol(dct)
+        preds[ci] += _extend(reader.receive(t), t)
+        blk[0] = preds[ci] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_unit(reader, act, blk, ss, se, al, eobrun):
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index out of spectral band")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, act, blk, ss, se, al, eobrun):
+    """T.81 G.2.2 / libjpeg decode_mcu_AC_refine: advance through the band
+    appending correction bits to already-nonzero history coefficients and
+    placing +-1<<Al newly-significant ones."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:  # EOB run — current block is a member: the
+                    # shared tail below reads its corrections and decrements
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.receive(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:  # EOB span still refines existing coefficients
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _reconstruct(frame, coeffs, qtables):
+    """Zigzag coefficient planes -> pixels: vectorized dequant + batch IDCT
+    + upsample + color transform (shared finish for the progressive path)."""
+    h, w, comps = frame
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    full = []
+    for (cid, hi, vi, tq), arr in zip(comps, coeffs):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError("JPEG frame references missing quantization table")
+        by, bx = arr.shape[:2]
+        deq = arr.astype(np.float64) * qt[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        blocks = nat.reshape(by, bx, 8, 8)
+        # batch IDCT: C.T @ B @ C per block
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        up = np.repeat(np.repeat(plane, v_max // vi, axis=0), h_max // hi, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255)[:, :, None].astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG (1 or 3 supported)")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, start, frame, scan, qtables, dc_tables, ac_tables, restart_interval):
@@ -327,6 +572,182 @@ def _decode_scan(data, start, frame, scan, qtables, dc_tables, ac_tables, restar
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
+def _eob_tokens(tokens: list, eobrun: int, be_bits: list) -> tuple[int, list]:
+    """Append the pending EOB-run symbol (nbits<<4 + appended bits, T.81
+    G.1.2.2) followed by the correction bits buffered against it."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        tokens.append(("sym", nbits << 4))
+        if nbits:
+            tokens.append(("raw", eobrun - (1 << nbits), nbits))
+        for b in be_bits:
+            tokens.append(("raw", b, 1))
+        return 0, []
+    return eobrun, be_bits
+
+
+def _ac_first_tokens(blocks: list[np.ndarray], al: int) -> list:
+    """Token stream (('sym', s) | ('raw', v, n)) for a progressive AC
+    first scan over Ss=1..63 at point transform ``al``, with EOB runs."""
+    tokens: list = []
+    eobrun = 0
+    for q in blocks:
+        t = [0] * 64
+        for k in range(1, 64):
+            v = int(q[k])
+            m = abs(v) >> al
+            t[k] = m if v >= 0 else -m
+        last = max((k for k in range(1, 64) if t[k]), default=0)
+        if last == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _eob_tokens(tokens, eobrun, [])
+            continue
+        eobrun, _ = _eob_tokens(tokens, eobrun, [])
+        r = 0
+        for k in range(1, last + 1):
+            v = t[k]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                tokens.append(("sym", 0xF0))
+                r -= 16
+            s, vb = _magnitude(v)
+            tokens.append(("sym", (r << 4) | s))
+            tokens.append(("raw", vb, s))
+            r = 0
+        if last < 63:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _eob_tokens(tokens, eobrun, [])
+    _eob_tokens(tokens, eobrun, [])
+    return tokens
+
+
+def _ac_refine_tokens(blocks: list[np.ndarray], al: int) -> list:
+    """Token stream for a progressive AC refinement scan (Ah=al+1 -> Al=al):
+    correction bits for history-nonzero coefficients ride their governing
+    symbol (ZRL / newly-significant / EOB run), per T.81 G.1.2.3 and the
+    libjpeg buffered-bits discipline our decoder's _ac_refine_unit mirrors."""
+    tokens: list = []
+    eobrun = 0
+    be_bits: list = []  # corrections deferred with the pending EOB run
+    for q in blocks:
+        absv = [abs(int(q[k])) >> al for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list = []  # corrections pending within the current block
+        for k in range(1, 64):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                eobrun, be_bits = _eob_tokens(tokens, eobrun, be_bits)
+                tokens.append(("sym", 0xF0))
+                r -= 16
+                for b in br:
+                    tokens.append(("raw", b, 1))
+                br = []
+            if temp > 1:  # history-nonzero: correction bit only
+                br.append(temp & 1)
+                continue
+            eobrun, be_bits = _eob_tokens(tokens, eobrun, be_bits)
+            tokens.append(("sym", (r << 4) | 1))
+            tokens.append(("raw", 1 if int(q[k]) >= 0 else 0, 1))
+            for b in br:
+                tokens.append(("raw", b, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun, be_bits = _eob_tokens(tokens, eobrun, be_bits)
+    _eob_tokens(tokens, eobrun, be_bits)
+    return tokens
+
+
+def _encode_progressive(h, w, gray, comps, qts, qblocks):
+    """SOF2 stream from per-component quantized zigzag blocks (fixture
+    scope: hi=vi=1). Scan plan exercises all four scan types the decoder
+    implements: interleaved DC first (Al=1) -> DC refine (raw bits) ->
+    per-component AC first (Ss=1..63, Al=1) -> per-component AC refine
+    (Ah=1, Al=0). Each entropy-coded scan carries its own DHT (table 0)."""
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, qt in qts.items():
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in qt
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, hi, vi, tq in comps:
+        out += bytes([cid, (hi << 4) | vi, tq])
+
+    def emit_scan(tokens, scan_cids, ss, se, ah, al, tc):
+        syms = [t[1] for t in tokens if t[0] == "sym"]
+        enc = None
+        if syms:  # refinement-only scans code no Huffman symbols
+            bits, huffval, enc = _fixed_length_table(syms)
+            out.extend(
+                b"\xff\xc4" + struct.pack(">H", 19 + len(huffval))
+                + bytes([tc << 4]) + bytes(bits) + huffval
+            )
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_cids), len(scan_cids)))
+        for cid in scan_cids:
+            out.extend(bytes([cid, 0x00]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        wr = _BitWriter()
+        for t in tokens:
+            if t[0] == "sym":
+                code, ln = enc[t[1]]
+                wr.write(code, ln)
+            else:
+                wr.write(t[1], t[2])
+        wr.flush()
+        out.extend(wr.out)
+
+    nblocks = len(qblocks[0])
+    all_cids = [c[0] for c in comps]
+
+    # scan 1: DC first, interleaved, Al=1 (value = coeff arithmetic >> 1)
+    tokens: list = []
+    preds = [0] * len(comps)
+    for b in range(nblocks):
+        for ci in range(len(comps)):
+            v = int(qblocks[ci][b][0]) >> 1
+            t, vb = _magnitude(v - preds[ci])
+            preds[ci] = v
+            tokens.append(("sym", t))
+            if t:
+                tokens.append(("raw", vb, t))
+    emit_scan(tokens, all_cids, 0, 0, 0, 1, 0)
+
+    # scan 2: DC refine, interleaved, Ah=1 Al=0 — one raw bit per block
+    tokens = []
+    for b in range(nblocks):
+        for ci in range(len(comps)):
+            tokens.append(("raw", int(qblocks[ci][b][0]) & 1, 1))
+    emit_scan(tokens, all_cids, 0, 0, 1, 0, 0)
+
+    # per-component AC first (Al=1) then AC refine (Ah=1 -> Al=0)
+    for ci, cid in enumerate(all_cids):
+        emit_scan(_ac_first_tokens(qblocks[ci], 1), [cid], 1, 63, 0, 1, 1)
+    for ci, cid in enumerate(all_cids):
+        emit_scan(_ac_refine_tokens(qblocks[ci], 0), [cid], 1, 63, 1, 0, 1)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # encoder (fixtures / egress)
 # ---------------------------------------------------------------------------
@@ -384,6 +805,7 @@ def encode_jpeg(
     chroma_q: np.ndarray | None = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Minimal spec-valid baseline JPEG encoder for fixtures/round-trips:
     (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> JFIF bytes.
@@ -395,8 +817,18 @@ def encode_jpeg(
     exercising the decoder's upsampling path. ``restart_interval`` > 0
     emits a DRI segment plus RSTn markers every that-many MCUs (and resets
     the DC predictors), exercising the decoder's restart resynchronization.
+
+    ``progressive=True`` emits SOF2 with an 8-scan successive-approximation
+    plan (DC first Al=1 interleaved -> DC refine raw bits -> per-component
+    AC first Ss=1..63 Al=1 -> per-component AC refine Ah=1), exercising all
+    four progressive scan types the decoder implements. Fixture scope:
+    4:4:4/grayscale only (no subsample/restart in progressive mode).
     """
     px = np.asarray(px, dtype=np.uint8)
+    if progressive and (subsample or restart_interval):
+        raise ValueError(
+            "fixture encoder emits progressive only as 4:4:4/gray without restarts"
+        )
     gray = px.ndim == 2 or px.shape[2] == 1
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -445,6 +877,17 @@ def encode_jpeg(
         return np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
 
     planes = [plane_for(i, c[1], c[2]) for i, c in enumerate(comps)]
+
+    if progressive:
+        # quantized zigzag blocks per comp in raster order (hi=vi=1 here)
+        qblocks: list[list[np.ndarray]] = [[] for _ in comps]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    block = planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                    zz = (_C @ block @ _C.T).reshape(64)[_ZIGZAG]
+                    qblocks[ci].append(np.round(zz / qts[tq]).astype(np.int64))
+        return _encode_progressive(h, w, gray, comps, qts, qblocks)
 
     # forward DCT + quantize every block, gather symbols for the tables
     all_tokens = []  # (mcu_idx, comp_kind, (dc_size, dc_bits), [(ac_sym, bits, size), ...])

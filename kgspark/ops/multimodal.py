@@ -9,12 +9,13 @@ chunk stream, inflates IDAT with zlib, and un-applies the per-scanline
 filters (None/Sub/Up/Average/Paeth) into an (h, w, channels) uint8 pixel
 array — bit-depth-8, non-interlaced, color types 0/2/3/4/6 (the
 overwhelming web majority); ``decode_wav`` walks the RIFF chunks into
-float PCM samples (8/16/32-bit integer PCM); baseline-sequential JPEG
-decodes for real via ``kgspark.ops.jpeg`` (stdlib+numpy Huffman + IDCT).
+float PCM samples (8/16/32-bit integer PCM); baseline-sequential AND
+progressive JPEG decode for real via ``kgspark.ops.jpeg`` (stdlib+numpy
+Huffman + IDCT, T.81 Annex G scan accumulation for SOF2).
 ``media_features`` dispatches by magic bytes into a deterministic
 FEATURE_DIM stats vector (pixel stats for images, duration/rms/zcr/
-histogram for audio). The remaining codec-dependent formats (progressive
-JPEG, MP4) stay STUBBED behind NotImplementedError (no codec libs in this
+histogram for audio). The remaining codec-dependent format (MP4 frame
+decode) stays STUBBED behind NotImplementedError (no codec libs in this
 container); ``fake=True`` keeps the hash-derived stand-in for
 plumbing-only tests and undecodable payloads.
 """
@@ -422,7 +423,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     [log1p(w), log1p(h), n_channels, per-channel means (4 slots),
     per-channel stds (4 slots), 5-bin luma histogram] — all in [0, ~22],
     deterministic across runs and partitionings. Undecodable formats raise
-    NotImplementedError (MP4 / progressive JPEG need codec libraries this
+    NotImplementedError (MP4 frame decode needs codec libraries this
     container lacks); ``fake=True`` derives an md5-seeded stand-in vector
     instead, keeping the distributed plumbing exercisable for any payload.
     """
@@ -434,9 +435,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def decode_image_pixels(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch into the REAL decoders: PNG / GIF /
-    baseline-JPEG payload -> (h, w, channels) uint8 pixels. Other formats
-    raise NotImplementedError; malformed streams ValueError."""
+    """Magic-byte dispatch into the REAL decoders: PNG / GIF / JPEG
+    (baseline + progressive) payload -> (h, w, channels) uint8 pixels.
+    Other formats raise NotImplementedError; malformed streams ValueError."""
     head = bytes(payload or b"")
     if head.startswith(_PNG_MAGIC):
         return decode_png(head)
@@ -447,10 +448,10 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(head)
     raise NotImplementedError(
-        "only PNG/GIF/baseline-JPEG decode without codec libraries (this "
-        "container has none); pass fake=True for the deterministic stand-in "
-        "on other formats (MP4 container metadata parses for real via "
-        "ops.mp4.parse_mp4_meta; frame decode and progressive JPEG stay "
+        "only PNG/GIF/JPEG (baseline + progressive) decode without codec "
+        "libraries (this container has none); pass fake=True for the "
+        "deterministic stand-in on other formats (MP4 container metadata "
+        "parses for real via ops.mp4.parse_mp4_meta; frame decode stays "
         "codec-stubbed)"
     )
 
@@ -479,7 +480,7 @@ def media_features(payload: bytes, fake: bool = False) -> np.ndarray:
     log1p(rate), channels, rms, peak, zero-crossing rate, 5-bin |amplitude|
     histogram] in the same FEATURE_DIM layout). Other formats raise
     NotImplementedError unless ``fake=True`` (hash-derived stand-in) —
-    MP4 and progressive JPEG need codec libraries this container lacks."""
+    MP4 frame decode needs codec libraries this container lacks."""
     if fake:
         return decode_image(payload, fake=True)
     head = bytes(payload or b"")

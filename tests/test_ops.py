@@ -1019,7 +1019,7 @@ def test_jpeg_decode_420_subsampled_and_restart_markers():
 
 def test_jpeg_quality_knob_and_error_paths():
     """quality= scales the Annex-K tables into a decodable lossy stream;
-    progressive SOF2 raises NotImplementedError; bad magic and
+    arithmetic-coded SOF9 raises NotImplementedError; bad magic and
     bomb-declared dimensions raise ValueError before allocation."""
     import struct
 
@@ -1034,7 +1034,7 @@ def test_jpeg_quality_knob_and_error_paths():
         jpeg.decode_jpeg(b"NOTAJPEG")
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(
-            b"\xff\xd8\xff\xc2"
+            b"\xff\xd8\xff\xc9"
             + struct.pack(">H", 10)
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         )
@@ -1097,6 +1097,45 @@ def test_jpeg_decoder_untrusted_bytes_raise_valueerror_only():
         )
         with pytest.raises((ValueError, NotImplementedError)):
             jpeg.decode_jpeg(garbage)
+
+
+def test_jpeg_progressive_roundtrip_color_gray_and_lossy():
+    """Progressive (SOF2) decode is REAL: the fixture encoder's 8-scan
+    successive-approximation plan (interleaved DC first Al=1, DC refine,
+    per-component AC first Al=1, AC refine Ah=1) reconstructs the exact
+    same coefficients as the baseline path, so pixels agree to IDCT float
+    rounding; a smooth lossy image exercises long EOB runs and ZRL."""
+    from kgspark.ops import jpeg
+
+    ones = np.ones(64, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)  # non-8-multiple crop
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, luma_q=ones, chroma_q=ones))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px, luma_q=ones, chroma_q=ones, progressive=True)
+    )
+    assert prog.shape == base.shape
+    assert int(np.max(np.abs(prog.astype(int) - base.astype(int)))) <= 1
+    assert int(np.max(np.abs(prog.astype(int) - px.astype(int)))) <= 2
+
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    pg = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, luma_q=ones, progressive=True))
+    bg = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, luma_q=ones))
+    assert int(np.max(np.abs(pg.astype(int) - bg.astype(int)))) <= 1
+
+    # smooth gradient at a real quality: most AC bands quantize to zero ->
+    # multi-block EOB runs; decoded output must stay close to the source
+    yy, xx = np.mgrid[0:40, 0:33]
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=85, progressive=True))
+    assert got.shape == (40, 33, 3)
+    base_q = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=85))
+    assert int(np.max(np.abs(got.astype(int) - base_q.astype(int)))) <= 1
+
+    with pytest.raises(ValueError):  # fixture scope: no subsample/restarts
+        jpeg.encode_jpeg(px, progressive=True, subsample=True)
 
 
 def test_png_gif_wav_untrusted_bytes_raise_valueerror_only():
