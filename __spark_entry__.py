@@ -1442,6 +1442,66 @@ FROM (
 """
 
 
+def _decontaminate_docs(spark, sf):
+    """Benchmark decontamination (ops/curation.decontaminate): the val
+    split is the eval set; every non-val document gets its distinct
+    shared-n-gram count and a contaminated flag. n=3 here — the synthetic
+    corpus is short word-salad where the production 13-gram default never
+    fires; the pipeline under test (tokenize -> windowed slice -> hash ->
+    broadcast join -> per-doc count -> left-attach) is identical at any n.
+    Engine-portable md5 n-gram hashing; DuckDB replays every stage."""
+    from kgspark.ops.curation import decontaminate, split_assign
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = d.withColumn("split", split_assign(F.col("doc_id")))
+    ev = d.filter(F.col("split") == "val").select("doc_id", "text")
+    corpus = d.filter(F.col("split") != "val").select("doc_id", "text")
+    out = decontaminate(corpus, ev, n=3, hash="md5")
+    return out.select(
+        "doc_id",
+        F.col("contaminated_ngrams").cast("long").alias("contaminated_ngrams"),
+        F.col("is_contaminated").cast("int").alias("is_contaminated"),
+    )
+
+
+def _decontaminate_sql() -> str:
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+spl AS (
+  SELECT doc_id, ({expansion}) % 100 AS bucket
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 15) AS h
+        FROM documents WHERE text IS NOT NULL)
+),
+grams AS (
+  SELECT toks.doc_id, md5(array_to_string(t[i : i + 2], ' ')) AS ng
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i) u
+),
+evalg AS (SELECT DISTINCT ng FROM grams JOIN spl USING (doc_id) WHERE bucket < 5),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.ng) AS c
+  FROM grams g JOIN spl USING (doc_id) JOIN evalg e ON g.ng = e.ng
+  WHERE bucket >= 5 GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.c, 0) AS contaminated_ngrams,
+       CASE WHEN COALESCE(h.c, 0) > 0 THEN 1 ELSE 0 END AS is_contaminated
+FROM (SELECT doc_id FROM spl WHERE bucket >= 5) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+_DECONTAMINATE_SQL = _decontaminate_sql()
+
+
 def _minhash_dedup_portable(spark, sf):
     """The FULL near-dup pipeline — portable signatures -> LSH banding ->
     candidate pairs -> signature-agreement estimate -> connected components
@@ -2633,6 +2693,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_mentions_join": _x6_mentions_join,
         "split_assign_docs": _split_assign_docs,
         "pack_sequences": _pack_sequences,
+        "decontaminate_docs": _decontaminate_docs,
         "nfc_normalize": _nfc_normalize,
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2705,6 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _URL_NORMALIZE_SQL,
         "split_assign_docs": _SPLIT_ASSIGN_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "decontaminate_docs": _DECONTAMINATE_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

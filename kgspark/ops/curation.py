@@ -88,6 +88,78 @@ def split_assign(
     )
 
 
+def ngram_hashes(text: Column, n: int = 13, hash: str = "xxhash64") -> Column:
+    """Hashes of a document's word ``n``-grams (whitespace tokens,
+    lowercased) as one generated array column — all JVM-side expressions
+    (split / sequence / transform / slice), no Python, no explode yet.
+
+    ``hash="xxhash64"`` (production) gives ``array<bigint>`` — 8-byte join
+    keys, half the shuffle/broadcast bytes of hex digests at corpus scale.
+    ``hash="md5"`` gives ``array<string>`` hex — the engine-portable variant
+    a DuckDB/ANSI oracle replays byte-for-byte. Documents shorter than
+    ``n`` tokens yield an empty array.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    if hash == "xxhash64":
+        return F.transform(starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    if hash == "md5":
+        return F.transform(starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    hash: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: mark training documents that share any
+    word ``n``-gram with an evaluation set (the GPT-3/Llama-style 13-gram
+    rule — a training pipeline that skips this reports inflated evals).
+
+    Returns ``corpus`` plus ``contaminated_ngrams`` (distinct eval n-grams
+    the document contains, 0 if clean) and ``is_contaminated``. Filter on
+    ``~is_contaminated`` to drop, or keep the count for audit/thresholding.
+
+    100 TB shape: the eval side (a benchmark suite — thousands of docs,
+    ~1e7 distinct 13-gram hashes ≈ 80 MB as int64) is distinct-reduced and
+    broadcast, so the corpus-side explode -> inner join runs map-side with
+    NO shuffle of corpus data; the only aggregation is groupBy(id) over the
+    (rare) hits. Set ``broadcast_eval=False`` when the eval set exceeds
+    broadcast size — the join becomes a shuffle hash join on the 8-byte
+    key. The final attach joins hit-counts (tiny) back to the corpus —
+    AQE turns it into a broadcast join. The reference has no
+    decontamination (no training concept at all); north-rule-scale
+    addition.
+    """
+    ng = ngram_hashes(F.col(text_col), n=n, hash=hash)
+    ev = (
+        eval_df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(ngram_hashes(F.col(text_col), n=n, hash=hash)).alias("_ng"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(ng).alias("_ng"))
+        .join(ev, "_ng")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_ng").alias("contaminated_ngrams"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("contaminated_ngrams", F.coalesce("contaminated_ngrams", F.lit(0)))
+        .withColumn("is_contaminated", F.col("contaminated_ngrams") > 0)
+    )
+
+
 def pack_greedy_contiguous(
     df: DataFrame,
     token_col: str,
@@ -136,11 +208,17 @@ def build_training_shards(
     val_pct: int = 5,
     test_pct: int = 5,
     salt: str = "split-v1",
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> dict:
     """The end-to-end curation deliverable: (doc_id, text) corpus ->
     language gate -> quality gate -> exact dedup -> MinHash near-dup ->
-    deterministic split -> token-budgeted packing -> parquet shards
-    partitioned by (split, shard).
+    [optional eval decontamination] -> deterministic split ->
+    token-budgeted packing -> parquet shards partitioned by (split, shard).
+
+    Pass ``eval_docs`` (a (doc_id, text) benchmark set) to drop documents
+    sharing any ``decontam_n``-gram with it (``decontaminate``) — the gate
+    runs after dedup so the n-gram explode sees the smallest surviving set.
 
     Every stage is one of the engine's verified operators composed in the
     canonical order (cheapest gates first, so dedup — the only shuffling
@@ -208,6 +286,17 @@ def build_training_shards(
     stats["after_exact_dedup"] = int(obs_exact.get["n"])
     stats["after_neardup"] = int(obs_nd.get["n"])
 
+    if eval_docs is not None:
+        obs_decon = Observation()
+        d = (
+            decontaminate(d, eval_docs, n=decontam_n)
+            .filter(~F.col("is_contaminated"))
+            .select("doc_id", "text")
+            .observe(obs_decon, n)
+            .localCheckpoint(eager=True)
+        )
+        stats["after_decontam"] = int(obs_decon.get["n"])
+
     cur = d.select(
         "doc_id",
         "text",
@@ -225,7 +314,7 @@ def build_training_shards(
         .partitionBy("split", "shard")
         .parquet(f"{out_dir}/shards")
     )
-    if stats["after_neardup"] > 0:
+    if stats.get("after_decontam", stats["after_neardup"]) > 0:
         written = spark.read.parquet(f"{out_dir}/shards")
         for r in written.groupBy("split").agg(
             F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")

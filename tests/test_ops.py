@@ -855,6 +855,65 @@ def test_pack_greedy_contiguous_semantics(spark):
     assert got[("a", 0)] == 0 and got[("a", 1)] == 0 and got[("b", 0)] == 0
 
 
+def test_decontaminate_semantics(spark):
+    """Planted eval overlap is flagged with the right distinct-n-gram
+    counts; clean and too-short docs stay with count 0; the md5 (portable)
+    and xxhash64 (production) paths and the broadcast/shuffle join tiers
+    all agree on the verdicts."""
+    from kgspark.ops.curation import decontaminate
+
+    ev = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta"), (901, None)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains eval 3-grams "beta gamma delta" + "gamma delta epsilon"
+            (1, "xx beta gamma delta epsilon yy"),
+            (2, "totally unrelated words in this document here"),
+            (3, "Alpha  BETA gamma zz"),  # case/whitespace-normalized hit
+            (4, "beta gamma"),  # shorter than n -> no n-grams
+            (5, None),  # null text -> clean, still present
+            # repeats one eval 3-gram twice -> distinct count 1
+            (6, "alpha beta gamma pad pad alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    for hash_kind in ("md5", "xxhash64"):
+        for bcast in (True, False):
+            got = {
+                r["doc_id"]: (r["contaminated_ngrams"], r["is_contaminated"])
+                for r in decontaminate(
+                    corpus, ev, n=3, hash=hash_kind, broadcast_eval=bcast
+                ).collect()
+            }
+            assert got == {
+                1: (2, True),
+                2: (0, False),
+                3: (1, True),
+                4: (0, False),
+                5: (0, False),
+                6: (1, True),
+            }, (hash_kind, bcast)
+
+
+def test_decontaminate_plan_broadcasts_eval(spark):
+    """The production shape: the eval n-gram set is broadcast, so the
+    corpus-side explode joins map-side with no corpus shuffle."""
+    from kgspark.ops.curation import decontaminate
+
+    ev = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("eval doc words number "), F.col("id")).alias("text"),
+    )
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus doc words number "), F.col("id")).alias("text"),
+    )
+    plan = decontaminate(corpus, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_build_training_shards_end_to_end(spark, tmp_path):
     """The composed curation pipeline: gates are monotone, shards land
     partitioned by (split, shard), packing respects the per-group restart,
@@ -938,6 +997,42 @@ def test_build_training_shards_single_raw_pass(spark, tmp_path):
     stats = build_training_shards(spark, docs, str(tmp_path / "s"), budget=256, n_shards=2)
     assert stats["input"] == 60
     assert acc.value == 60, f"raw corpus scanned {acc.value / 60:.1f}x, expected once"
+
+
+def test_build_training_shards_decontam_stage(spark, tmp_path):
+    """eval_docs plugs the decontamination gate in after dedup: documents
+    sharing an n-gram with the eval set are dropped, the stage count lands
+    in stats, and the written shards contain no contaminated doc."""
+    import json
+
+    from kgspark.ops.curation import build_training_shards
+
+    rows = [
+        (i, f"the quick brown document number {i} talks about spark joins and shuffles in detail " * 3)
+        for i in range(40)
+    ]
+    # doc 100 embeds the eval passage verbatim (and passes the lang/quality
+    # gates: English marker words, >20 tokens, no punctuation spam)
+    rows.append((
+        100,
+        "the secret eval benchmark passage tokens appear and the discussion "
+        "continues about the results in detail with many more sentences "
+        "covering the methodology and the conclusions drawn from it",
+    ))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(0, "secret eval benchmark passage tokens appear")], "doc_id long, text string"
+    )
+
+    out = str(tmp_path / "sd")
+    stats = build_training_shards(
+        spark, docs, out, budget=256, n_shards=2, eval_docs=ev, decontam_n=5
+    )
+    assert stats["after_decontam"] == stats["after_neardup"] - 1
+    assert json.loads((tmp_path / "sd" / "_stats.json").read_text())["after_decontam"] == stats["after_decontam"]
+    written = spark.read.parquet(f"{out}/shards")
+    assert written.filter(F.col("doc_id") == 100).count() == 0
+    assert written.count() == stats["after_decontam"]
 
 
 def test_unicode_nfc_nfkc(spark):
