@@ -1502,6 +1502,63 @@ LEFT JOIN hits h USING (doc_id)
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
 
+def _resample_temperature_docs(spark, sf):
+    """Temperature-based domain rebalancing (ops/curation.
+    resample_temperature): a skewed synthetic grouping (60/30/10% of
+    doc_ids) is downsampled toward n_g**0.5 with deterministic md5-bucket
+    acceptance. The oracle replays counts -> global min -> pow/round ->
+    integer ppm threshold -> per-doc bucket compare, bit-for-bit."""
+    from kgspark.ops.curation import resample_temperature
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    grouped = d.withColumn(
+        "grp",
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 6, F.lit("big"))
+        .when(F.pmod(F.col("doc_id"), F.lit(10)) < 9, F.lit("mid"))
+        .otherwise(F.lit("small")),
+    )
+    out = resample_temperature(grouped, "grp", "doc_id", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "grp",
+        F.col("group_n").cast("long").alias("group_n"),
+        "accept_ppm",
+        F.col("is_kept").cast("int").alias("is_kept"),
+    )
+
+
+def _resample_temperature_sql() -> str:
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'big'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'small' END AS grp
+  FROM documents
+),
+c AS (SELECT grp, count(*) AS group_n FROM g GROUP BY grp),
+m AS (SELECT min(group_n) AS n_min FROM c),
+t AS (
+  SELECT grp, group_n,
+         CAST(least(1000000, floor(round(power(CAST(n_min AS DOUBLE) / group_n, 0.5), 6) * 1000000)) AS BIGINT) AS accept_ppm
+  FROM c, m
+)
+SELECT gh.doc_id, gh.grp, t.group_n, t.accept_ppm,
+       CASE WHEN ({expansion}) % 1000000 < t.accept_ppm THEN 1 ELSE 0 END AS is_kept
+FROM (SELECT doc_id, grp, substr(md5(CAST(doc_id AS VARCHAR) || '|mix-v1'), 1, 15) AS h
+      FROM g) gh
+JOIN t USING (grp)
+"""
+
+
+_RESAMPLE_TEMPERATURE_SQL = _resample_temperature_sql()
+
+
 def _minhash_dedup_portable(spark, sf):
     """The FULL near-dup pipeline — portable signatures -> LSH banding ->
     candidate pairs -> signature-agreement estimate -> connected components
@@ -2694,6 +2751,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_docs": _split_assign_docs,
         "pack_sequences": _pack_sequences,
         "decontaminate_docs": _decontaminate_docs,
+        "resample_temperature_docs": _resample_temperature_docs,
         "nfc_normalize": _nfc_normalize,
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2767,6 +2825,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign_docs": _SPLIT_ASSIGN_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -196,6 +196,58 @@ def pack_greedy_contiguous(
     )
 
 
+def resample_temperature(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix-v1",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic temperature-based domain rebalancing for training
+    mixes: downsample each group (domain/host/source) so expected kept
+    counts are proportional to ``n_g ** alpha`` — ``alpha=1`` keeps the
+    natural mix, ``alpha=0`` flattens every group toward the smallest,
+    values between (0.5 here, the multilingual-sampling convention)
+    dampen dominant domains without erasing them.
+
+    Per-group acceptance rate ``a_g = (n_min / n_g) ** (1 - alpha)``
+    (downsample-only: the smallest group keeps everything). Acceptance is
+    a pure function of the document key: keep iff
+    ``md5_bucket(id || '|' || salt) % modulus < floor(round(a_g, 6) *
+    modulus)`` — rerun/partitioning-stable (a document never flips in or
+    out as the corpus is re-read), engine-portable (the DuckDB oracle
+    replays it; the 6-decimal round pins the pow result across IEEE
+    implementations), and redrawable via ``salt``.
+
+    Returns the input plus ``group_n`` (group size), ``accept_ppm``
+    (per-``modulus`` integer threshold) and ``is_kept``. Shuffle shape:
+    one groupBy count over the group key, a 1-row global min broadcast,
+    and a counts-table join back (domain-cardinality-sized — AQE
+    broadcasts it); the corpus itself never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_n"))
+    n_min = counts.agg(F.min("group_n").alias("_n_min"))
+    rate = F.round(
+        F.pow(F.col("_n_min").cast("double") / F.col("group_n"), F.lit(1.0 - alpha)), 6
+    )
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        "group_n",
+        F.least(F.lit(modulus), F.floor(rate * modulus)).cast("long").alias("accept_ppm"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.join(thresholds, group_col).withColumn(
+        "is_kept", F.pmod(h, F.lit(modulus)) < F.col("accept_ppm")
+    )
+
+
 def build_training_shards(
     spark,
     docs: DataFrame,

@@ -914,6 +914,49 @@ def test_decontaminate_plan_broadcasts_eval(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_resample_temperature_semantics(spark):
+    """alpha=0.5 downsamples each group toward sqrt-proportional size
+    (smallest group keeps everything); alpha=1 keeps the natural mix;
+    membership is a pure function of the key — identical at any
+    partitioning and monotone in alpha's acceptance thresholds."""
+    from kgspark.ops.curation import resample_temperature
+
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(1000 + i, "mid") for i in range(300)]
+        + [(2000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    out = resample_temperature(df, "grp", "doc_id", alpha=0.5)
+    kept = {
+        r["grp"]: r["k"]
+        for r in out.filter("is_kept").groupBy("grp").agg(F.count("*").alias("k")).collect()
+    }
+    assert kept["small"] == 100  # smallest group: accept rate 1.0
+    # expected: mid 300*sqrt(100/300)=173, big 600*sqrt(100/600)=245 (±5%ish)
+    assert abs(kept["mid"] - 173) < 35
+    assert abs(kept["big"] - 245) < 40
+
+    # deterministic and partitioning-invariant membership
+    ids1 = sorted(r["doc_id"] for r in out.filter("is_kept").select("doc_id").collect())
+    out2 = resample_temperature(df.repartition(13), "grp", "doc_id", alpha=0.5)
+    ids2 = sorted(r["doc_id"] for r in out2.filter("is_kept").select("doc_id").collect())
+    assert ids1 == ids2
+
+    # alpha=1: natural mix, everything kept
+    all_kept = resample_temperature(df, "grp", "doc_id", alpha=1.0)
+    assert all_kept.filter("NOT is_kept").count() == 0
+
+    # a fresh salt redraws membership but not the thresholds
+    out3 = resample_temperature(df, "grp", "doc_id", alpha=0.5, salt="mix-v2")
+    t1 = {(r["grp"], r["accept_ppm"]) for r in out.select("grp", "accept_ppm").distinct().collect()}
+    t3 = {(r["grp"], r["accept_ppm"]) for r in out3.select("grp", "accept_ppm").distinct().collect()}
+    assert t1 == t3
+    ids3 = sorted(r["doc_id"] for r in out3.filter("is_kept").select("doc_id").collect())
+    assert ids3 != ids1
+
+
 def test_build_training_shards_end_to_end(spark, tmp_path):
     """The composed curation pipeline: gates are monotone, shards land
     partitioned by (split, shard), packing respects the per-group restart,
