@@ -1632,6 +1632,109 @@ LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def _minhash_incremental_portable(spark, sf):
+    """Incremental (batch-vs-store) near-dup semantics with the portable
+    4-perm signatures: ODD doc_ids are the new batch, EVEN the signature
+    store. The oracle replays banding, the new x (store ∪ larger-new)
+    pairing rule (store x store never paired), the >=2/4 agreement
+    estimate, the CC fixpoint, and store-anchored representative
+    selection. The production path (ops/dedup.minhash_dedup_incremental /
+    lsh_candidate_pairs_incremental) runs the same shapes with 64
+    xxhash64-domain perms, the bounded-bucket single-shuffle aggregate,
+    and the broadcast store-bucket prune."""
+    from kgspark.extract.components import connected_components
+
+    sigs = _minhash_portable_sig(spark, sf)
+    banded = sigs.select(
+        "doc_id", F.lit(0).alias("band"), F.md5(F.concat_ws(",", "h0", "h1")).alias("bucket")
+    ).union(sigs.select("doc_id", F.lit(1), F.md5(F.concat_ws(",", "h2", "h3"))))
+    n = banded.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+        "band", "bucket", F.col("doc_id").alias("a")
+    )
+    m = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+    pairs = (
+        n.join(m, ["band", "bucket"])
+        .filter(
+            (F.col("b") != F.col("a"))
+            & ((F.pmod(F.col("b"), F.lit(2)) == 0) | (F.col("b") > F.col("a")))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"sa{i}") for i in range(4)])
+    sb = sigs.select(F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"sb{i}") for i in range(4)])
+    agree = sum((F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int") for i in range(4))
+    est = pairs.join(sa, "a").join(sb, "b").filter(agree >= 2).select("a", "b")
+    comp = connected_components(est, "a", "b")
+    reps = (
+        comp.groupBy("component")
+        .agg(
+            F.min(F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.col("id"))).alias("_store"),
+            F.min("id").alias("_any"),
+        )
+        .select("component", F.coalesce("_store", "_any").alias("rep"))
+    )
+    labels = comp.join(reps, "component").select(F.col("id").alias("doc_id"), "rep")
+    newdocs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(2)) == 1))
+        .select("doc_id")
+    )
+    return newdocs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("rep", F.col("doc_id")).cast("long").alias("cluster"),
+        (F.coalesce("rep", F.col("doc_id")) != F.col("doc_id")).cast("int").alias("is_duplicate"),
+    )
+
+
+_MINHASH_INCREMENTAL_SQL = """
+WITH RECURSIVE sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':0'))) AS h0,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':1'))) AS h1,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':2'))) AS h2,
+         list_min(list_transform(pos, i -> md5(substr(t, CAST(i AS INT), 5) || ':3'))) AS h3
+  FROM (SELECT doc_id, t, range(1, greatest(length(t) - 4, 1) + 1) AS pos
+        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents WHERE text IS NOT NULL))
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sigs
+), pairs AS (
+  SELECT DISTINCT n.doc_id AS a, m.doc_id AS b
+  FROM banded n JOIN banded m
+    ON n.band = m.band AND n.bucket = m.bucket
+   AND n.doc_id % 2 = 1
+   AND m.doc_id <> n.doc_id
+   AND (m.doc_id % 2 = 0 OR m.doc_id > n.doc_id)
+), est AS (
+  SELECT p.a, p.b
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b
+  WHERE CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+      + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) >= 2
+), sym AS (
+  SELECT a AS s, b AS d FROM est UNION SELECT b, a FROM est
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.s, t.r FROM sym e JOIN reach t ON e.d = t.id
+), comp AS (
+  SELECT id, min(r) AS comp_id FROM reach GROUP BY id
+), reps AS (
+  SELECT comp_id,
+         coalesce(min(CASE WHEN id % 2 = 0 THEN id END), min(id)) AS rep
+  FROM comp GROUP BY comp_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.rep, d.doc_id) AS BIGINT) AS cluster,
+       CASE WHEN coalesce(r.rep, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_duplicate
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1) d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN reps r ON r.comp_id = c.comp_id
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2752,6 +2855,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "decontaminate_docs": _decontaminate_docs,
         "resample_temperature_docs": _resample_temperature_docs,
+        "minhash_incremental_portable": _minhash_incremental_portable,
         "nfc_normalize": _nfc_normalize,
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2826,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
+        "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -103,6 +103,19 @@ def minhash_signatures(
     return cols.mapInPandas(run, schema=f"{id_col} long, sig array<long>")
 
 
+def _band_bucket_col(n_bands: int, rows_per_band: int):
+    """(band, bucket) generator column over a ``sig`` array: xxhash64 hashes
+    each band's array slice directly — no per-band string concat, and the
+    shuffled bucket key is 8 bytes instead of a 32-char md5 hex (measured
+    24% faster pairing at sf0.1, byte-identical pair set)."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 16,
     max_bucket_size: int = 1000, n_perm: int | None = None,
@@ -152,15 +165,7 @@ def lsh_candidate_pairs(
     )
     banded = sigs.select(
         member.alias("m"),
-        # xxhash64 hashes the array slice directly: no per-band string concat,
-        # and the shuffled bucket key is 8 bytes instead of a 32-char md5 hex
-        # (measured 24% faster pairing at sf0.1, byte-identical pair set)
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
+        _band_bucket_col(n_bands, rows_per_band).alias("band", "bucket"),
     )
     buckets = (
         banded.groupBy("band", "bucket")
@@ -316,6 +321,184 @@ def minhash_dedup(
     )
     return clustered.withColumn(
         "is_representative", F.col(id_col) == F.col("cluster")
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    new_sigs: DataFrame,
+    existing_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    n_perm: int | None = None,
+    max_bucket_size: int = 1000,
+    broadcast_new_buckets: bool = True,
+) -> DataFrame:
+    """Candidate pairs between a NEW signature batch and a persisted store:
+    ``(a, b, sig_a, sig_b)`` with ``a`` always a new id and ``b`` a store id
+    or a larger new id — the store x store quadrant is never generated.
+
+    Same single-shuffle bounded-bucket aggregate as ``lsh_candidate_pairs``
+    (signatures carried, pairs generated JVM-side from the collected
+    member array), with one extra trick for the incremental shape: the
+    store is banded (a narrow 8-byte-key map pass, no text) and LEFT-SEMI
+    pruned to the batch's bucket keys — broadcast when the batch is small —
+    so store rows in buckets the batch never touches are dropped at the
+    scan and never shuffle. Pairs may repeat across bands; callers filter
+    then distinct (see ``lsh_candidate_pairs`` for the measured rationale).
+    """
+    if n_perm is None:
+        n_perm = len(new_sigs.select("sig").first()["sig"])
+    rows_per_band = n_perm // n_bands
+
+    def band(sigs_df, is_new: bool):
+        return sigs_df.select(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col("sig").alias("sig"),
+                F.lit(is_new).alias("is_new"),
+            ).alias("m"),
+            _band_bucket_col(n_bands, rows_per_band).alias("band", "bucket"),
+        )
+
+    new_banded = band(new_sigs, True)
+    keys = new_banded.select("band", "bucket").distinct()
+    if broadcast_new_buckets:
+        keys = F.broadcast(keys)
+    old_banded = band(existing_sigs, False).join(keys, ["band", "bucket"], "left_semi")
+
+    buckets = (
+        old_banded.unionByName(new_banded)
+        .groupBy("band", "bucket")
+        # struct sort orders by id first -> deterministic pair order
+        .agg(F.array_sort(F.collect_list("m")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket_size))
+    )
+    ids = F.col("ids")
+    new_members = F.filter(ids, lambda m: m["is_new"])
+    # each new member pairs with every store member and every LARGER new id:
+    # new x new emitted once, store x store never
+    pairs = F.flatten(
+        F.transform(
+            new_members,
+            lambda n: F.transform(
+                F.filter(
+                    ids,
+                    lambda m: (m["id"] != n["id"])
+                    & ((~m["is_new"]) | (m["id"] > n["id"])),
+                ),
+                lambda m: F.struct(n.alias("n"), m.alias("m")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.n.id").alias("a"),
+        F.col("p.m.id").alias("b"),
+        F.col("p.n.sig").alias("sig_a"),
+        F.col("p.m.sig").alias("sig_b"),
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    broadcast_new_buckets: bool = True,
+) -> DataFrame:
+    """Incremental near-dup dedup: one NEW crawl batch against a persisted
+    signature store, without ever re-pairing the store against itself —
+    the operational mode of a continuously-growing corpus, where re-running
+    ``minhash_dedup`` over all 100 TB per batch is not an option.
+
+    ``existing_sigs`` is the store: ``(id, sig)`` rows as produced by
+    ``minhash_signatures`` (bit-deterministic across runs/processes, so
+    they are written once and reused forever). Ids must be globally unique
+    across store and batch. Returns one row per NEW document:
+    ``(id, sig, cluster, is_duplicate)`` — ``cluster`` is the matched store
+    id (store anchors win), else the min new id of its within-batch
+    component, else itself. Append ``filter(~is_duplicate)`` rows to the
+    store for the next batch.
+
+    100 TB shape:
+    - The store is only ever BANDED (a narrow map pass producing 8-byte
+      bucket keys — no text, no Python) then LEFT-SEMI pruned to the new
+      batch's bucket keys, broadcast when the batch is small (the typical
+      case): store rows in buckets the batch never touches are filtered at
+      the scan and never shuffle.
+    - Pairing is the same single-shuffle bounded-bucket aggregate as
+      ``lsh_candidate_pairs``, but pair generation emits only the
+      new x (store ∪ new) quadrants JVM-side — store x store pairs are
+      never materialized.
+    - The candidate graph (matched docs only, orders of magnitude smaller
+      than the batch) goes through ``connected_components``; store-vs-new
+      membership is decided against the batch id set, so the store is
+      never joined again.
+
+    Greedy-incremental caveat (standard for signature-store dedup):
+    transitive chains ACROSS batches resolve through store representatives,
+    so a chain a~b~c split over two batches can keep c that a single-shot
+    ``minhash_dedup`` over the union would fold; within one batch
+    transitivity is exact.
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perm, shingle_k)
+    # two consumers (banding + the final annotation join): materialize so the
+    # Python signature stage runs once; batch-scale, not corpus-scale
+    new_sigs = new_sigs.localCheckpoint(eager=True)
+    exploded = lsh_candidate_pairs_incremental(
+        new_sigs,
+        existing_sigs,
+        id_col=id_col,
+        n_bands=n_bands,
+        n_perm=n_perm,
+        max_bucket_size=max_bucket_size,
+        broadcast_new_buckets=broadcast_new_buckets,
+    )
+    est = (
+        exploded.withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(n_perm)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b")
+        .distinct()
+    )
+
+    from kgspark.extract.components import connected_components
+
+    comp = connected_components(est, "a", "b")  # matched docs only
+    # store membership = "not in the batch": decided against the (small)
+    # batch id set so the store table is never touched again
+    new_ids = new_sigs.select(F.col(id_col).alias("id"), F.lit(True).alias("_is_new"))
+    roster = comp.join(new_ids, "id", "left")
+    reps = (
+        roster.groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_is_new").isNull(), F.col("id"))).alias("_store_rep"),
+            F.min("id").alias("_any_rep"),
+        )
+        .select("component", F.coalesce("_store_rep", "_any_rep").alias("_rep"))
+    )
+    labels = comp.join(reps, "component").select(
+        F.col("id").alias(id_col), F.col("_rep").alias("cluster")
+    )
+    return (
+        new_sigs.join(labels, id_col, "left")
+        .select(
+            id_col,
+            "sig",
+            F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("is_duplicate", F.col("cluster") != F.col(id_col))
     )
 
 

@@ -48,6 +48,81 @@ def test_minhash_dedup_clusters(near_dup_docs):
     assert len(reps) == 3
 
 
+def test_minhash_dedup_incremental_semantics(spark):
+    """Batch-vs-store dedup: a new doc near-dupping a STORE doc clusters to
+    the store id (store anchors win even when numerically larger); new-new
+    near-dups keep the min new id as representative; unique new docs are
+    representatives; output carries sigs ready to append to the store."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content about spark shuffles and joins " * 6
+    store_docs = spark.createDataFrame(
+        [(50, base), (51, other)], "doc_id long, text string"
+    )
+    store = dedup.minhash_signatures(store_docs)
+    new = spark.createDataFrame(
+        [
+            (1, base.replace("lazy", "sleepy")),  # near-dup of store doc 50
+            (2, "another unrelated document mentioning catalyst optimizer rules " * 6),
+            (3, "fresh text discussing window functions and watermarks at length " * 6),
+            (4, "fresh text discussing window functions and watermarks at length " * 6),  # dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_dedup_incremental(new, store, threshold=0.5)
+    rows = {r["doc_id"]: (r["cluster"], r["is_duplicate"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # one row per NEW doc, store not re-emitted
+    assert rows[1] == (50, True)  # anchored to the store id, even though 1 < 50
+    assert rows[2] == (2, False)
+    assert rows[3] == (3, False)
+    assert rows[4] == (3, True)  # within-batch: min new id is representative
+    assert {len(r["sig"]) for r in out.collect()} == {64}  # appendable sigs
+
+    # empty store degenerates to plain within-batch dedup semantics
+    empty = dedup.minhash_signatures(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    out2 = {
+        r["doc_id"]: (r["cluster"], r["is_duplicate"])
+        for r in dedup.minhash_dedup_incremental(new, empty, threshold=0.5).collect()
+    }
+    single = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.minhash_dedup(new, threshold=0.5).collect()
+    }
+    assert {d: c for d, (c, _) in out2.items()} == single
+
+    # partitioning-invariant
+    out3 = {
+        r["doc_id"]: (r["cluster"], r["is_duplicate"])
+        for r in dedup.minhash_dedup_incremental(
+            new.repartition(5), store, threshold=0.5
+        ).collect()
+    }
+    assert out3 == rows
+
+
+def test_minhash_dedup_incremental_prunes_store(spark):
+    """The store side is left-semi pruned to the batch's bucket keys with a
+    broadcast, so untouched store buckets never shuffle (the 100 TB
+    contract); the plan shows the broadcast semi-join."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    store = dedup.minhash_signatures(
+        spark.createDataFrame([(50, base)], "doc_id long, text string")
+    )
+    new = spark.createDataFrame(
+        [(1, "totally disjoint tokens everywhere in this one " * 6)],
+        "doc_id long, text string",
+    )
+    new_sigs = dedup.minhash_signatures(new)
+    cand = dedup.lsh_candidate_pairs_incremental(new_sigs, store, n_perm=64)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert cand.count() == 0  # disjoint texts: no shared buckets
+    out = dedup.minhash_dedup_incremental(new, store, threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 1 and not rows[0]["is_duplicate"]
+
+
 def test_lsh_candidates_vs_exact_jaccard(near_dup_docs):
     sigs = dedup.minhash_signatures(near_dup_docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
