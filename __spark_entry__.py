@@ -1735,6 +1735,48 @@ LEFT JOIN reps r ON r.comp_id = c.comp_id
 """
 
 
+def _triangle_count_docs(spark, sf):
+    """Per-node triangle counts (ops/graph_algs.triangle_count,
+    degree-ordered node-iterator) over a deterministic synthetic graph on
+    doc_id % 401 nodes with three modular edge generators — dense enough
+    for thousands of triangles at sf0.01. The oracle counts each triangle
+    once via the canonical a<b three-way self-join and re-aggregates
+    per corner."""
+    from kgspark.ops.graph_algs import triangle_count
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = (
+        d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y"))
+        .unionAll(d.select(F.col("u"), (F.col("u") * 13 + 5) % 401))
+        .unionAll(d.select(F.col("u"), (F.col("u") + 1) % 401))
+    )
+    return triangle_count(raw, "x", "y").select(
+        F.col("node").cast("long").alias("node"), "triangles"
+    )
+
+
+_TRIANGLE_COUNT_SQL = """
+WITH nodes AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM nodes
+  UNION ALL SELECT u, (u * 13 + 5) % 401 FROM nodes
+  UNION ALL SELECT u, (u + 1) % 401 FROM nodes
+),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT n, count(*) AS c FROM (
+    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY n
+)
+SELECT CAST(nodes.u AS BIGINT) AS node, CAST(coalesce(p.c, 0) AS BIGINT) AS triangles
+FROM nodes LEFT JOIN pern p ON p.n = nodes.u
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2856,6 +2898,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _decontaminate_docs,
         "resample_temperature_docs": _resample_temperature_docs,
         "minhash_incremental_portable": _minhash_incremental_portable,
+        "triangle_count_docs": _triangle_count_docs,
         "nfc_normalize": _nfc_normalize,
         "q1_pricing_summary": _q1_pricing_summary,
         "kg_nodes_tpch": _kg_nodes_tpch,
@@ -2931,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
+        "triangle_count_docs": _TRIANGLE_COUNT_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -135,3 +135,68 @@ def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
             .localCheckpoint()
         )
     return ranks.withColumnRenamed("r", "rank_units")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph: ``(node,
+    triangles)`` for every node incident to at least one edge (0 for
+    triangle-free nodes).
+
+    Degree-ordered node-iterator (the MapReduce-classic Suri–Vassilvitskii
+    / Cohen scheme, re-expressed as three DataFrame joins):
+
+    1. canonicalize to distinct ``a < b`` edges (self-loops dropped);
+    2. orient every edge from its lower-(degree, id) endpoint to the
+       higher one — a total order, so each triangle has exactly ONE pivot
+       node with both out-edges;
+    3. wedges = self-join of oriented edges on the pivot with the two
+       spokes ordered by the same (degree, id) key;
+    4. close each wedge with an inner join against the oriented edge set.
+
+    Why this survives 100 TB: the orientation bounds per-pivot out-degree
+    by O(sqrt(m)) (a celebrity node with degree d contributes wedges only
+    through neighbors of HIGHER degree, of which there are at most ~sqrt
+    of the edge count), so the wedge join cannot explode on skewed
+    degrees the way a naive neighbor self-join does. Every shuffle key is
+    a node id / id pair; no Python, no driver state. Deterministic: set
+    semantics end to end.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.struct("da", "a") < F.struct("db", "b"))
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = o1.join(o2, "u").filter(F.struct("dx", "x") < F.struct("dy", "y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select(F.col("n").alias("node"))
+        .join(per_node, "node", "left")
+        .select("node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )

@@ -61,3 +61,29 @@ def test_integer_mode_partitioning_invariant(spark, edges_df):
     b = sorted((r["name"], r["rank_units"])
                for r in pagerank(edges_df.repartition(7), max_iter=5, scale=scale).collect())
     assert a == b  # bit-identical: all integer ops, no float summation order
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-countable graph: K4 on {1,2,3,4} (4 triangles, 3 per node) plus
+    a pendant node 5 (0 triangles) and a disconnected edge 6-7; duplicate /
+    reversed / self-loop inputs collapse under canonicalization."""
+    from kgspark.ops.graph_algs import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),          # pendant
+        (6, 7),          # triangle-free component
+        (2, 1),          # reversed duplicate
+        (3, 3),          # self-loop (dropped)
+        (1, 2),          # exact duplicate
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+    # skewed star + one closing edge: hub degree >> others, exactly 1 triangle
+    star = [(0, i) for i in range(1, 60)] + [(1, 2)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    s = {r["node"]: r["triangles"] for r in triangle_count(sdf).collect()}
+    assert s[0] == 1 and s[1] == 1 and s[2] == 1
+    assert sum(s.values()) == 3
