@@ -381,3 +381,28 @@ def build_training_shards(
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     Path(f"{out_dir}/_stats.json").write_text(json.dumps(stats, sort_keys=True))
     return stats
+
+
+def export_jsonl_shards(
+    packed: DataFrame, out_dir: str, compression: str = "gzip"
+) -> None:
+    """Packed curation output -> compressed JSON-Lines shards partitioned
+    by (split, shard) — the layout training data loaders consume directly
+    (one JSON object per line under hive-style split=/shard= directories).
+
+    Rows are sorted within partitions by (pack_id, pack_offset), so a
+    sequential reader sees documents in pack order without any
+    loader-side sort. Same plan shape as the parquet sink (one shuffle on
+    the partition keys); only the encoder differs — at 100 TB prefer the
+    parquet shards and export JSONL per-consumer, since JSON bytes are
+    ~3x parquet and gzip is not splittable (one file per (split, shard)
+    task is the parallelism unit, which the repartition pins).
+    """
+    (
+        packed.repartition("split", "shard")
+        .sortWithinPartitions("pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .option("compression", compression)
+        .json(out_dir)
+    )

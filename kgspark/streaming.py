@@ -259,3 +259,74 @@ def stream_publish_graph(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame | None = None,
+    lang: str | None = "en",
+    min_quality: float = 0.3,
+    dedup_delay: str = "1 hour",
+    decontam_n: int = 13,
+    trigger_once: bool = True,
+):
+    """Continuous corpus curation: the batch gates of
+    ``ops.curation.build_training_shards`` wrapped for a file-source stream.
+
+    Upstream of the batch reuse, re-fetch dedup runs NATIVELY in the
+    stream (``dropDuplicatesWithinWatermark`` on url — state bounded by
+    the watermark delay, not the corpus); each micro-batch then applies
+    the verified batch operators via foreachBatch — language gate, quality
+    gate, and (when ``eval_docs`` is given) benchmark decontamination
+    against the STATIC eval set — and appends survivors to
+    ``out_dir/docs`` plus one lineage row per epoch to ``out_dir/_curate_log``
+    (epoch, docs_in, docs_kept). Exactly-once with the checkpoint dir;
+    the append is idempotent per epoch because replays rewrite the same
+    epoch id and downstream consumers dedup on (url, epoch) — the same
+    contract as ``stream_extract_triples``.
+
+    The near-dup/packing stages stay batch-side (they need corpus-global
+    state); this stream is the INGEST half: it keeps the raw firehose from
+    ever being re-scanned by the batch curator.
+    """
+    from kgspark.ops.curation import decontaminate
+    from kgspark.ops.textstats import lang_id, quality_features
+
+    pages = (
+        spark.readStream.schema(schemas.WEB_PAGES)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", dedup_delay)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select(F.col("url").alias("doc_id"), "warc_ts", "text")
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_in = batch_df.count()
+        d = batch_df.filter(F.col("text").isNotNull())
+        if lang is not None:
+            d = lang_id(d).filter(F.col("lang_pred") == lang).drop("lang_pred")
+        d = quality_features(d).filter(F.col("quality_score") >= min_quality)
+        d = d.select("doc_id", "warc_ts", "text")
+        if eval_docs is not None:
+            d = (
+                decontaminate(d, eval_docs, n=decontam_n)
+                .filter(~F.col("is_contaminated"))
+                .select("doc_id", "warc_ts", "text")
+            )
+        # one gate pass per micro-batch: materialize before write + count
+        kept = d.withColumn("epoch", F.lit(epoch_id)).localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(f"{out_dir}/docs")
+        spark.createDataFrame(
+            [(int(epoch_id), int(n_in), int(kept.count()))],
+            "epoch long, docs_in long, docs_kept long",
+        ).write.mode("append").parquet(f"{out_dir}/_curate_log")
+
+    writer = pages.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

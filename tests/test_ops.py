@@ -1600,3 +1600,44 @@ def test_frame_sample_plan_mp4_uses_parsed_durations(spark):
         (0, 0), (0, 1000), (0, 2000), (0, 3000)
     }
     assert all(r["video_codec"] == "avc1" for r in got)
+
+
+def test_export_jsonl_shards_roundtrip(spark, tmp_path):
+    """JSONL export mirrors the parquet shards: same rows, hive-partitioned
+    by (split, shard), gzip members, pack order within files."""
+    import glob
+    import json
+
+    from kgspark.ops.curation import build_training_shards, export_jsonl_shards
+
+    rows = [
+        (i, f"the quick brown document number {i} talks about spark joins and shuffles in detail " * 3)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "sx")
+    build_training_shards(spark, docs, out, budget=256, n_shards=2)
+    packed = spark.read.parquet(f"{out}/shards")
+
+    jl = str(tmp_path / "jl")
+    export_jsonl_shards(packed, jl)
+    files = glob.glob(f"{jl}/split=*/shard=*/*.json.gz")
+    assert files, "expected gzipped jsonl members under hive partitions"
+    back = spark.read.json(jl)
+    assert back.count() == packed.count()
+    a = sorted(
+        (r["doc_id"], r["split"], int(r["shard"]), r["pack_id"], r["pack_offset"])
+        for r in back.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["split"], int(r["shard"]), r["pack_id"], r["pack_offset"])
+        for r in packed.collect()
+    )
+    assert a == b
+    # each member file is in pack order
+    import gzip
+
+    for f in files[:3]:
+        with gzip.open(f, "rt") as fh:
+            keys = [(json.loads(l)["pack_id"], json.loads(l)["pack_offset"]) for l in fh]
+        assert keys == sorted(keys)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kgspark import fixtures, streaming
+from kgspark import fixtures, schemas, streaming
 from kgspark.extract.openie import extract_doc_triples
 
 
@@ -204,3 +204,52 @@ def test_stream_publish_graph_versions(spark, tmp_path):
     assert v2_nodes.count() > n1
     old_nodes, _ = load_graph(spark, kw["publish_dir"], version=1)
     assert old_nodes.count() == n1  # time travel unaffected by the merge
+
+
+def test_stream_curate_gates_and_log(spark, tmp_path):
+    """Continuous curation ingest: in-window url re-fetches dedup natively,
+    the micro-batch applies lang/quality gates plus decontamination against
+    a static eval set, survivors land in docs/ and the per-epoch lineage
+    row records in/kept counts."""
+    import datetime as dt
+
+    from kgspark import streaming
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    good = (
+        "the document number {i} talks about spark joins and the shuffles "
+        "and the aggregation strategies in detail across many more sentences "
+        "covering the methodology and the conclusions"
+    )
+    rows = [(f"https://ex.com/{i}", ts, None, good.format(i=i), "en") for i in range(25)]
+    rows += rows[:5]  # same url + same warc_ts -> in-window re-fetches
+    rows.append(("https://ex.com/lowq", ts, None, "!!! ??? ...", "en"))
+    rows.append((
+        "https://ex.com/contam", ts, None,
+        "the secret eval benchmark passage tokens appear and the rest of the "
+        "discussion continues in fluent prose about the findings and the methods",
+        "en",
+    ))
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(rows, schemas.WEB_PAGES).write.parquet(src)
+
+    ev = spark.createDataFrame(
+        [(0, "secret eval benchmark passage tokens appear")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "cur_out")
+    q = streaming.stream_curate(
+        spark, src, out, str(tmp_path / "cur_ckpt"),
+        eval_docs=ev, decontam_n=5,
+    )
+    q.awaitTermination(180)
+
+    docs = spark.read.parquet(f"{out}/docs")
+    urls = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert len(urls) == 25 and len(set(urls)) == 25  # dup/lowq/contam all gone
+    assert "https://ex.com/lowq" not in urls
+    assert "https://ex.com/contam" not in urls
+
+    log = spark.read.parquet(f"{out}/_curate_log").collect()
+    assert sum(r["docs_in"] for r in log) == 27  # post-watermark-dedup
+    assert sum(r["docs_kept"] for r in log) == 25
