@@ -1777,6 +1777,51 @@ FROM nodes LEFT JOIN pern p ON p.n = nodes.u
 """
 
 
+def _repeated_spans_docs(spark, sf):
+    """Span-level duplicate-text detection (ops/curation.repeated_spans):
+    maximal merged token intervals participating in corpus-repeated
+    5-grams — the boilerplate/licence-block shape document-level near-dup
+    cannot see. md5-portable hashing; the oracle replays gram positions,
+    the corpus hot-count, and the gaps-and-islands merge window."""
+    from kgspark.ops.curation import repeated_spans
+
+    d = _t(spark, sf, "documents")
+    return repeated_spans(d, n=5, min_count=2, hash="md5").select(
+        "doc_id", "span_start", "span_end"
+    )
+
+
+_REPEATED_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i : i + 4], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+),
+hot AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN hot USING (h)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end
+FROM islands GROUP BY doc_id, island
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2811,6 +2856,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_temperature_docs": _resample_temperature_docs,
         "minhash_incremental_portable": _minhash_incremental_portable,
         "triangle_count_docs": _triangle_count_docs,
+        "repeated_spans_docs": _repeated_spans_docs,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -2852,14 +2898,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": _range_band_join,
         "f_date_funcs": _f_date_funcs,
         "percentile_stats": _percentile_stats,
-        # --- r02 green; dense_index carries the ADVICE localCheckpoint fix ---
-        "dense_index_docs": _dense_index_docs,
-        # --- r02 greens rotated behind the window to make room for the four
+        # --- r02 greens rotated behind the window to make room for the five
         #     NEW r03 operators above: their r03 code deltas (CC arg
         #     validation, url scheme-less guard, curation observe()/
-        #     eval-gate, kg_sampling checkpoint) are pytest- and
-        #     entry-oracle-rehearsal-covered; r02 keeps them inside the
-        #     green-within-two-rounds envelope ---
+        #     eval-gate, kg_sampling localCheckpoint) are pytest- and
+        #     entry-oracle-rehearsal-covered at the driver's own sf0.01
+        #     inputs; r02 keeps them inside the green-within-two-rounds
+        #     envelope ---
+        "dense_index_docs": _dense_index_docs,
         "negative_samples_kg": _negative_samples_kg,
         "url_normalize": _url_normalize,
         "cc_components_tpch": _cc_components_tpch,
@@ -2982,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
+        "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -406,3 +406,105 @@ def export_jsonl_shards(
         .option("compression", compression)
         .json(out_dir)
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Span-level duplicate text detection (the Lee et al. "Deduplicating
+    Training Data" shape, re-expressed relationally): find every maximal
+    token interval of a document that participates in an ``n``-gram
+    occurring at least ``min_count`` times ACROSS THE CORPUS — boilerplate
+    headers, licence blocks, templated paragraphs that document-level
+    near-dup cannot see. Returns ``(id, span_start, span_end)`` in 1-based
+    token indices, overlapping/adjacent hits merged per document.
+
+    Plan: posexplode the JVM-generated n-gram hash column -> one corpus
+    groupBy(hash) count -> hot set semi-joins back to (id, position) hits
+    (hits ≪ grams: only repeated material survives) -> classic
+    gaps-and-islands merge with one window per document (running max of
+    interval end). Shuffles: the gram count (map-side combinable: repeated
+    grams collapse before the exchange) and the per-doc window — both on
+    8-byte keys. ``hash="md5"`` is the engine-portable variant the DuckDB
+    oracle replays.
+    """
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(ngram_hashes(F.col(text_col), n=n, hash=hash)).alias("_p0", "_h"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_h")
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = grams.join(hot, "_h", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_end, F.lit(0)) + 1).cast("int")
+    ).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def trim_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document's text with the ``repeated_spans`` intervals
+    removed: tokens whose 1-based position falls inside any span are
+    dropped, the rest re-join with single spaces into ``text_trimmed``
+    (whitespace-normalized like every dedup key in this engine).
+
+    The spans side aggregates to one array per document (span counts are
+    tiny — merged intervals), joins back (AQE-broadcast), and the token
+    filter is a pure JVM expression: indexed transform -> exists() against
+    the span array -> concat_ws. Documents with no spans pass through
+    unchanged (normalized); the corpus never shuffles.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+            lambda sp: (x["i"] >= sp["span_start"]) & (x["i"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "text_trimmed",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.concat_ws(" ", F.transform(kept, lambda x: x["t"])),
+            ),
+        )
+        .drop("_spans")
+    )

@@ -1641,3 +1641,44 @@ def test_export_jsonl_shards_roundtrip(spark, tmp_path):
         with gzip.open(f, "rt") as fh:
             keys = [(json.loads(l)["pack_id"], json.loads(l)["pack_offset"]) for l in fh]
         assert keys == sorted(keys)
+
+
+def test_repeated_spans_and_trim(spark):
+    """Planted boilerplate: a shared license header repeats across docs and
+    is flagged as one merged span per doc; unique body text never flags;
+    trim removes exactly the flagged tokens; adjacent/overlapping hits
+    merge into maximal intervals."""
+    from kgspark.ops.curation import repeated_spans, trim_repeated_spans
+
+    header = "licensed under the apache license version two point zero"  # 9 tokens
+    rows = [
+        (1, header + " alpha body about spark plans and watermarks"),
+        (2, header + " omega body concerning shuffle sizing and skew"),
+        (3, "fully unique document with no shared material at all here"),
+        # doc 4: header appears twice, separated by one unique token ->
+        # two hit clusters that must NOT merge across the gap token
+        (4, header + " gapword " + header),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(docs, n=4, min_count=2)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spans.filter("doc_id IN (1, 2)").collect()
+    }
+    # the 9-token header: 4-gram hits at pos 1..6 merge into [1, 9]
+    assert got == {1: (1, 9), 2: (1, 9)}
+    assert spans.filter("doc_id = 3").count() == 0
+    d4 = sorted(
+        (r["span_start"], r["span_end"]) for r in spans.filter("doc_id = 4").collect()
+    )
+    assert d4 == [(1, 9), (11, 19)]  # gapword at 10 splits the islands
+
+    trimmed = {r["doc_id"]: r["text_trimmed"] for r in trim_repeated_spans(docs, spans).collect()}
+    assert trimmed[1] == "alpha body about spark plans and watermarks"
+    assert trimmed[2] == "omega body concerning shuffle sizing and skew"
+    assert trimmed[3] == "fully unique document with no shared material at all here"
+    assert trimmed[4] == "gapword"
+
+    # md5 (portable) path produces identical spans
+    spans_md5 = repeated_spans(docs, n=4, min_count=2, hash="md5")
+    assert sorted(map(tuple, spans.collect())) == sorted(map(tuple, spans_md5.collect()))

@@ -144,3 +144,52 @@ def test_ngram_hashes_md5_matches_python(spark, texts, n):
             for j in range(len(toks) - n + 1)
         ]
         assert got[i] == expected
+
+
+@SLOW
+@given(
+    corpus=st.lists(doc_st, min_size=1, max_size=6),
+    n=st.integers(2, 3),
+    min_count=st.integers(2, 3),
+)
+def test_repeated_spans_matches_bruteforce(spark, corpus, n, min_count):
+    from kgspark.ops.curation import repeated_spans, trim_repeated_spans
+
+    docs_toks = [[w for w in t.lower().split() if w] for t in corpus]
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs_toks:
+        for i in range(len(toks) - n + 1):
+            counts[" ".join(toks[i : i + n])] += 1
+
+    expected_spans = {}
+    expected_trim = {}
+    for d, toks in enumerate(docs_toks):
+        hits = [
+            i + 1
+            for i in range(len(toks) - n + 1)
+            if counts[" ".join(toks[i : i + n])] >= min_count
+        ]
+        spans = []
+        for pos in hits:  # gaps-and-islands merge, intervals [pos, pos+n-1]
+            if spans and pos <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], pos + n - 1)
+            else:
+                spans.append([pos, pos + n - 1])
+        expected_spans[d] = sorted(map(tuple, spans))
+        masked = {i for s, e in spans for i in range(s, e + 1)}
+        expected_trim[d] = " ".join(
+            t for j, t in enumerate(toks, start=1) if j not in masked
+        )
+
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    sp = repeated_spans(df, n=n, min_count=min_count)
+    got = {}
+    for r in sp.collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == {d: v for d, v in expected_spans.items() if v}
+
+    trimmed = {r["doc_id"]: r["text_trimmed"] for r in trim_repeated_spans(df, sp).collect()}
+    assert trimmed == expected_trim
