@@ -1822,6 +1822,38 @@ FROM islands GROUP BY doc_id, island
 """
 
 
+def _unigram_logprob_docs(spark, sf):
+    """Corpus-as-unigram-LM quality proxy (ops/textstats.unigram_logprob):
+    per-doc mean token log-probability under corpus term frequencies —
+    the CCNet perplexity-bucket filter without an external LM. Exact
+    fixed-point millinat sums keep the distributed aggregation integer;
+    the oracle replays term counts, the bigint log sum, and the single
+    final float expression."""
+    from kgspark.ops.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+counts AS (SELECT term, count(*) AS c FROM nz GROUP BY term),
+total AS (SELECT sum(c) AS tot FROM counts),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CAST(round(ln(c) * 1000, 0) AS BIGINT)) AS s
+  FROM nz JOIN counts USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(s / 1000.0 / n_tokens - ln(tot), 6) AS logprob
+FROM per_doc, total
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2915,6 +2947,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     rehearsal verifies its witness; r04 MUST front it) ---
         "mp4_container_meta": _mp4_container_meta,
         "audiohash_neardup": _audiohash_neardup,
+        "unigram_logprob_docs": _unigram_logprob_docs,
         # --- green in r02, unchanged code: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
         #  and dedup.py are untouched since r02; their slots make room for
@@ -3029,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
+        "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -242,3 +242,53 @@ def collocations(
             ).alias("lift"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy with the corpus itself as
+    the unigram model: each document's mean log-probability of its tokens
+    under corpus-wide term frequencies. Rare-word gibberish scores very
+    negative, median prose sits in a narrow band, stopword spam scores
+    high — threshold both tails (the standard perplexity-bucket filter,
+    without needing an external LM in the sandbox).
+
+    Returns ``(id, n_tokens, logprob)`` for every document with at least
+    one token; ``logprob = mean_t ln(count(t)/C)`` where C is the corpus
+    token count.
+
+    Determinism discipline (same as the stats_moments oracle): the per-doc
+    sum runs over FIXED-POINT millinat logs (``round(ln(count)*1000)`` as
+    bigint) so the distributed aggregation is exact integer math in any
+    partition order; the float division and the single ``ln(C)`` happen
+    once per row at the end, rounded to 6 decimals — engine-portable, the
+    DuckDB oracle replays it. Shuffle shape: one map-side-combinable term
+    count, a shuffle hash join of (id, term) against the term table on the
+    term key, one per-doc aggregate. No Python anywhere.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    terms = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_total"))
+    per_doc = (
+        terms.join(counts, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.round(F.log(F.col("_c")) * 1000).cast("bigint")).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("_s") / 1000.0 / F.col("n_tokens") - F.log(F.col("_total")), 6
+        ).alias("logprob"),
+    )

@@ -1682,3 +1682,35 @@ def test_repeated_spans_and_trim(spark):
     # md5 (portable) path produces identical spans
     spans_md5 = repeated_spans(docs, n=4, min_count=2, hash="md5")
     assert sorted(map(tuple, spans.collect())) == sorted(map(tuple, spans_md5.collect()))
+
+
+def test_unigram_logprob_discriminates(spark):
+    """Common-word documents score higher than rare-word documents; the
+    score is the exact mean of millinat-rounded per-token logs minus
+    ln(corpus size), and is partitioning-invariant."""
+    import math
+
+    from kgspark.ops.textstats import unigram_logprob
+
+    common = "the and of to in " * 8  # 40 tokens of 5 very frequent words
+    rows = [(i, common) for i in range(10)]
+    rows.append((100, "zyzzyva quokka absquatulate bort nudnik"))  # 5 hapaxes
+    rows.append((101, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["logprob"]) for r in unigram_logprob(docs).collect()}
+    assert 101 not in out  # null text -> no tokens -> no row
+    assert out[100][0] == 5
+    assert out[0][1] > out[100][1]  # common >> rare
+
+    # exact replay: corpus C = 10*40 + 5 = 405; each common word count 80
+    c_total = 405
+    expect_common = round(round(math.log(80) * 1000) / 1000.0 / 1 - math.log(c_total), 6)
+    assert abs(out[0][1] - expect_common) < 1e-9
+    expect_rare = round(round(math.log(1) * 1000) / 1000.0 / 1 - math.log(c_total), 6)
+    assert abs(out[100][1] - expect_rare) < 1e-9
+
+    out2 = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob(docs.repartition(7)).collect()
+    }
+    assert out2 == out
