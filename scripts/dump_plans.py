@@ -138,6 +138,79 @@ def main() -> None:
     spark.sql(f"DROP TABLE IF EXISTS {nt}")
     spark.sql(f"DROP TABLE IF EXISTS {et}")
 
+    from kgspark.ops.curation import decontaminate, repeated_spans, resample_temperature
+
+    ev = docs.filter("doc_id % 100 = 0").select("doc_id", "text")
+    dec = decontaminate(docs.select("doc_id", "text"), ev, n=13)
+    sections.append((
+        "Benchmark decontamination (kgspark.ops.curation.decontaminate)",
+        "Look for: the eval side reduced by HashAggregate distinct then "
+        "BroadcastExchange — the corpus-side n-gram explode joins map-side "
+        "(BroadcastHashJoin), so corpus rows never shuffle; the final "
+        "hit-count attach is the only other join and AQE broadcasts it.",
+        plan_of(dec),
+    ))
+
+    from kgspark.ops.dedup import lsh_candidate_pairs_incremental, minhash_signatures
+
+    store_sigs = minhash_signatures(docs.filter("doc_id % 2 = 0").select("doc_id", "text"))
+    new_sigs = minhash_signatures(docs.filter("doc_id % 2 = 1").select("doc_id", "text"))
+    inc = lsh_candidate_pairs_incremental(new_sigs, store_sigs, n_perm=64)
+    sections.append((
+        "Incremental LSH pairing (kgspark.ops.dedup.lsh_candidate_pairs_incremental)",
+        "Look for: the store side pruned by a BroadcastHashJoin LeftSemi on "
+        "(band, bucket) BEFORE any aggregation — untouched store buckets "
+        "never shuffle; then the same single groupBy(band, bucket) "
+        "collect_list aggregate as the batch pairer, with pair generation "
+        "inside the project (no join for pairing).",
+        plan_of(inc),
+    ))
+
+    from kgspark.ops.graph_algs import triangle_count
+
+    tri_edges = docs.selectExpr(
+        "doc_id % 401 AS x", "(doc_id * 7 + 3) % 401 AS y"
+    )
+    sections.append((
+        "Triangle counting (kgspark.ops.graph_algs.triangle_count)",
+        "Look for: two-phase HashAggregate for degrees, the wedge self-join "
+        "and closing join both on 8-byte keys; every aggregate map-side "
+        "combinable. The (degree, id) orientation is a projection, not a "
+        "shuffle.",
+        plan_of(triangle_count(tri_edges, "x", "y")),
+    ))
+
+    spans = repeated_spans(docs, n=20, min_count=2)
+    sections.append((
+        "Repeated-span detection (kgspark.ops.curation.repeated_spans)",
+        "Look for: partial+final HashAggregate on the gram hash (repeated "
+        "grams collapse map-side), LeftSemi back to positions, then ONE "
+        "Window per document for the gaps-and-islands merge.",
+        plan_of(spans),
+    ))
+
+    from kgspark.ops.textstats import unigram_logprob
+
+    sections.append((
+        "Unigram-LM quality scoring (kgspark.ops.textstats.unigram_logprob)",
+        "Look for: map-side-combinable term count, the (id, term) join on "
+        "the term key, a per-doc HashAggregate over exact bigint fixed-point "
+        "logs, and the 1-row corpus total arriving via BroadcastNestedLoopJoin "
+        "(a broadcast scalar, not a shuffle).",
+        plan_of(unigram_logprob(docs)),
+    ))
+
+    rs = resample_temperature(
+        docs.selectExpr("doc_id", "concat('g', doc_id % 7) AS grp"), "grp", "doc_id"
+    )
+    sections.append((
+        "Temperature resampling (kgspark.ops.curation.resample_temperature)",
+        "Look for: one group count, the 1-row global min via BroadcastNestedLoopJoin, "
+        "and the thresholds joined back to the corpus (AQE broadcasts the "
+        "domain-cardinality side); the md5 acceptance test is a projection.",
+        plan_of(rs),
+    ))
+
     out = ["# PLANS — physical plans of the headline operators",
            "",
            "Generated by `python scripts/dump_plans.py` (sf0.001, local[4], AQE on).",
