@@ -1854,6 +1854,40 @@ FROM per_doc, total
 """
 
 
+def _host_stats_docs(spark, sf):
+    """Host-level crawl statistics (ops/curation.url_host as the grouping
+    key): deterministic synthetic URLs over documents (ports, userinfo,
+    mixed case — the branches url_host strips), grouped per host with doc
+    counts and exact char sums. The oracle replays the extraction and the
+    aggregate."""
+    from kgspark.ops.curation import url_host
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://user:pw@Site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".Example.com:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x#f"),
+    )
+    return (
+        d.select(url_host(url).alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+_HOST_STATS_SQL = """
+SELECT lower('Site' || CAST(doc_id % 13 AS VARCHAR) || '.Example.com') AS host,
+       count(*) AS docs, sum(n_chars) AS chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2948,6 +2982,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_container_meta": _mp4_container_meta,
         "audiohash_neardup": _audiohash_neardup,
         "unigram_logprob_docs": _unigram_logprob_docs,
+        "host_stats_docs": _host_stats_docs,
         # --- green in r02, unchanged code: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
         #  and dedup.py are untouched since r02; their slots make room for
@@ -3063,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
+        "host_stats_docs": _HOST_STATS_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

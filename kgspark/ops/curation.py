@@ -63,6 +63,19 @@ def normalize_url(col: Column) -> Column:
     )
 
 
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL — the grouping key for host-level crawl
+    policies (temperature resampling over domains, per-host caps,
+    blocklist joins). Scheme optional (``example.com/p`` -> ``example.com``),
+    userinfo and port stripped, pure string expressions (narrow
+    projection). Inputs with no host-ish prefix give ``''``.
+    """
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    no_user = F.regexp_replace(hostport, r"^[^/@]*@", "")
+    return F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1))
+
+
 def split_assign(
     col: Column, salt: str = "split-v1", val_pct: int = 5, test_pct: int = 5
 ) -> Column:

@@ -1714,3 +1714,22 @@ def test_unigram_logprob_discriminates(spark):
         for r in unigram_logprob(docs.repartition(7)).collect()
     }
     assert out2 == out
+
+
+def test_url_host_cases(spark):
+    """Host extraction: scheme optional, userinfo/port stripped, case
+    folded; pathological inputs degrade to '' instead of erroring."""
+    from kgspark.ops.curation import url_host
+
+    cases = [
+        ("HTTPS://User:pw@WWW.Example.COM:8443/a/b?q=1#f", "www.example.com"),
+        ("http://example.com", "example.com"),
+        ("example.com/p", "example.com"),
+        ("ftp://Files.example.org:21/x", "files.example.org"),
+        ("//cdn.example.net/lib.js", ""),  # protocol-relative: no scheme, empty first segment? -> ''
+        ("", ""),
+        ("/relative/path", ""),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).orderBy("i").collect()]
+    assert got == [e for _, e in cases]
