@@ -1888,6 +1888,92 @@ GROUP BY 1
 """
 
 
+def _gopher_flags_docs(spark, sf):
+    """Gopher rule bundle (ops/textstats.gopher_quality_flags): every flag
+    and the composite pass, replayed exactly by the oracle (token/char
+    counts, ellipsis arithmetic, line ratios, stopword hits)."""
+    from kgspark.ops.textstats import gopher_quality_flags
+
+    out = gopher_quality_flags(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("int").alias(c) for c in out.columns if c != "doc_id"],
+    )
+
+
+_GOPHER_FLAGS_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, norm,
+         CASE WHEN norm = '' OR norm IS NULL THEN 0
+              ELSE len(string_split(norm, ' ')) END AS n_tokens,
+         len(replace(norm, ' ', '')) AS n_chars,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)), l -> rtrim(l) LIKE '%...')) AS n_ell_lines,
+         len(list_filter(string_split(norm, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         (CASE WHEN ' ' || lower(norm) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% be %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% have %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(norm) || ' ' LIKE '% with %' THEN 1 ELSE 0 END) AS stop_hits
+  FROM base
+),
+flags AS (
+  SELECT doc_id,
+         coalesce(n_tokens >= 50 AND n_tokens <= 100000, FALSE) AS flag_n_tokens,
+         coalesce(n_chars * 1.0 / greatest(n_tokens, 1) >= 3
+                  AND n_chars * 1.0 / greatest(n_tokens, 1) <= 10, FALSE) AS flag_mean_word_len,
+         coalesce((n_hash + n_ellipsis) * 1.0 / greatest(n_tokens, 1) < 0.1, FALSE) AS flag_hash_ellipsis,
+         coalesce(n_ell_lines * 1.0 / greatest(n_lines, 1) < 0.3, FALSE) AS flag_ellipsis_lines,
+         coalesce(n_alpha * 1.0 / greatest(n_tokens, 1) >= 0.8, FALSE) AS flag_alpha_words,
+         coalesce(stop_hits >= 2, FALSE) AS flag_stopwords
+  FROM feat
+)
+SELECT doc_id,
+       CAST(flag_n_tokens AS INT) AS flag_n_tokens,
+       CAST(flag_mean_word_len AS INT) AS flag_mean_word_len,
+       CAST(flag_hash_ellipsis AS INT) AS flag_hash_ellipsis,
+       CAST(flag_ellipsis_lines AS INT) AS flag_ellipsis_lines,
+       CAST(flag_alpha_words AS INT) AS flag_alpha_words,
+       CAST(flag_stopwords AS INT) AS flag_stopwords,
+       CAST(flag_n_tokens AND flag_mean_word_len AND flag_hash_ellipsis
+            AND flag_ellipsis_lines AND flag_alpha_words AND flag_stopwords AS INT) AS gopher_pass
+FROM flags
+"""
+
+
+def _cap_per_host_docs(spark, sf):
+    """Deterministic per-group caps (ops/curation.cap_per_group) over the
+    synthetic host grouping: at most 20 docs survive per host, selected by
+    the salted md5 hash order the oracle replays digit-for-digit."""
+    from kgspark.ops.curation import cap_per_group
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 13).cast("long").alias("host_id")
+    )
+    out = cap_per_group(d, "host_id", "doc_id", k=20)
+    return out.select("doc_id", "host_id", F.col("is_kept").cast("int").alias("is_kept"))
+
+
+_CAP_PER_HOST_SQL = """
+SELECT doc_id, host_id,
+       CASE WHEN row_number() OVER (
+              PARTITION BY host_id
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap-v1'), doc_id
+            ) <= 20 THEN 1 ELSE 0 END AS is_kept
+FROM (SELECT doc_id, CAST(doc_id % 13 AS BIGINT) AS host_id FROM documents)
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -2983,6 +3069,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audiohash_neardup": _audiohash_neardup,
         "unigram_logprob_docs": _unigram_logprob_docs,
         "host_stats_docs": _host_stats_docs,
+        "gopher_flags_docs": _gopher_flags_docs,
+        "cap_per_host_docs": _cap_per_host_docs,
         # --- green in r02, unchanged code: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
         #  and dedup.py are untouched since r02; their slots make room for
@@ -3099,6 +3187,8 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,
+        "gopher_flags_docs": _GOPHER_FLAGS_SQL,
+        "cap_per_host_docs": _CAP_PER_HOST_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -521,3 +521,25 @@ def trim_repeated_spans(
         )
         .drop("_spans")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-group cap — at most ``k`` rows survive per group
+    (per-host crawl budgets, per-domain training caps). Selection is a
+    hash order over the key (md5 of ``id || '|' || salt``, ties by id), so
+    the kept set is rerun/partitioning-stable, unbiased by input order,
+    and redrawable via ``salt`` — never ``rand()``. Returns the input plus
+    ``is_kept``. One window per group; at corpus scale the group key is
+    host-cardinality, so no global sort exists.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return df.withColumn(
+        "is_kept", F.row_number().over(w) <= k
+    )

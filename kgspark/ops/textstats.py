@@ -292,3 +292,59 @@ def unigram_logprob(
             F.col("_s") / 1000.0 / F.col("n_tokens") - F.log(F.col("_total")), 6
         ).alias("logprob"),
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher rule bundle (Rae et al. 2021, Appendix A) as one narrow
+    projection — the standard pre-filter stack for web-scale training
+    corpora, each rule surfaced as its own flag so thresholds are
+    auditable rather than baked into one opaque score:
+
+    - ``flag_n_tokens``: 50 <= whitespace tokens <= 100,000;
+    - ``flag_mean_word_len``: mean characters per token in [3, 10];
+    - ``flag_hash_ellipsis``: '#' or '...' per token < 0.1;
+    - ``flag_ellipsis_lines``: lines ending in '...' < 30%;
+    - ``flag_alpha_words``: >= 80% of tokens contain a letter;
+    - ``flag_stopwords``: >= 2 of {the, be, to, of, and, that, have, with};
+    - ``gopher_pass``: all of the above.
+
+    Pure ``pyspark.sql.functions`` (regexp counts + splits), exact
+    integer/ratio math — the DuckDB oracle replays every flag. Null text
+    fails everything (kept in the output with ``gopher_pass = false``).
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(t, r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    n_chars = F.length(F.regexp_replace(norm, " ", ""))
+    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
+    n_ellipsis = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        (
+            F.concat(F.lit(" "), F.lower(norm), F.lit(" ")).contains(f" {w} ")
+        ).cast("int")
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    flags = {
+        "flag_n_tokens": (n_tokens >= 50) & (n_tokens <= 100_000),
+        "flag_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "flag_hash_ellipsis": (n_hash + n_ellipsis) / F.greatest(n_tokens, F.lit(1)) < 0.1,
+        "flag_ellipsis_lines": n_ell_lines / F.greatest(n_lines, F.lit(1)) < 0.3,
+        "flag_alpha_words": n_alpha_words / F.greatest(n_tokens, F.lit(1)) >= 0.8,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    out = docs.select(
+        F.col(id_col),
+        *[F.coalesce(c, F.lit(False)).alias(name) for name, c in flags.items()],
+    )
+    passed = None
+    for name in flags:
+        passed = F.col(name) if passed is None else (passed & F.col(name))
+    return out.withColumn("gopher_pass", passed)

@@ -1733,3 +1733,58 @@ def test_url_host_cases(spark):
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
     got = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).orderBy("i").collect()]
     assert got == [e for _, e in cases]
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule fires on its crafted violator and the clean doc
+    passes everything; null text fails all flags but stays in the output."""
+    from kgspark.ops.textstats import gopher_quality_flags
+
+    clean = (
+        "the quick brown fox likes to be jumping over all of the lazy dogs "
+        "and that statement should have enough plain words to pass with ease "
+        * 3
+    )
+    rows = [
+        (1, clean),
+        (2, "the short one to be of and that have with"),  # < 50 tokens
+        (3, "## " * 60 + clean),  # hash symbols over 10% of tokens
+        (4, "\n".join(["the line trails off..."] * 10) + "\n" + clean.replace(" ", "\n", 2)),  # >30% ellipsis lines
+        (5, " ".join(["1234567"] * 60) + " the to"),  # <80% alphabetic words
+        (6, "zyx " * 60),  # no stopwords
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["gopher_pass"]
+    assert not got[2]["flag_n_tokens"] and not got[2]["gopher_pass"]
+    assert not got[3]["flag_hash_ellipsis"]
+    assert not got[4]["flag_ellipsis_lines"]
+    assert not got[5]["flag_alpha_words"]
+    assert not got[6]["flag_stopwords"]
+    assert 7 in got and not got[7]["gopher_pass"]
+
+
+def test_cap_per_group_deterministic(spark):
+    """At most k rows survive per group; under-k groups keep everything;
+    the kept set is a pure function of (id, salt) — partitioning-invariant
+    and redrawable."""
+    from kgspark.ops.curation import cap_per_group
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = cap_per_group(df, "grp", "doc_id", k=10)
+    kept = {r["grp"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["grp"]] += int(r["is_kept"])
+    assert kept == {"big": 10, "small": 3}
+
+    ids1 = sorted(r["doc_id"] for r in out.filter("is_kept").collect())
+    out2 = cap_per_group(df.repartition(9), "grp", "doc_id", k=10)
+    ids2 = sorted(r["doc_id"] for r in out2.filter("is_kept").collect())
+    assert ids1 == ids2
+    ids3 = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df, "grp", "doc_id", k=10, salt="cap-v2").filter("is_kept").collect()
+    )
+    assert ids3 != ids1 and len(ids3) == 13
