@@ -3063,17 +3063,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components_tpch": _cc_components_tpch,
         "curation_pipeline": _curation_pipeline,
         # --- NEW in r03, behind the window (every checked-50 slot is needed
-        #     by changed-code or aging-green entries; pytest's entry-oracle
-        #     rehearsal verifies its witness; r04 MUST front it) ---
+        #     by changed-code or aging-green entries; the entry-oracle
+        #     rehearsal verifies each one — witnesses for the first two,
+        #     DuckDB oracles for the rest; r04 MUST front ALL SIX) ---
         "mp4_container_meta": _mp4_container_meta,
         "audiohash_neardup": _audiohash_neardup,
         "unigram_logprob_docs": _unigram_logprob_docs,
         "host_stats_docs": _host_stats_docs,
         "gopher_flags_docs": _gopher_flags_docs,
         "cap_per_host_docs": _cap_per_host_docs,
-        # --- green in r02, unchanged code: rotate behind the window ---
-        # (pagerank_tpch and minhash_dedup_portable moved here: graph_algs.py
-        #  and dedup.py are untouched since r02; their slots make room for
+        # --- green in r02: rotate behind the window ---
+        # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
+        #  the later r03 deltas to those modules (triangle_count appended to
+        #  graph_algs; _band_bucket_col factor + incremental pairer in dedup)
+        #  are driver-covered by triangle_count_docs, minhash_dedup_docs and
+        #  minhash_incremental_portable inside the window. Slots made room for
         #  media_decode_features and phash_neardup_media in the checked 50)
         "pagerank_tpch": _pagerank_tpch,
         "minhash_dedup_portable": _minhash_dedup_portable,
