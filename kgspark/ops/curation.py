@@ -275,6 +275,7 @@ def build_training_shards(
     salt: str = "split-v1",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
+    token_counter: str = "ws",
 ) -> dict:
     """The end-to-end curation deliverable: (doc_id, text) corpus ->
     language gate -> quality gate -> exact dedup -> MinHash near-dup ->
@@ -284,6 +285,9 @@ def build_training_shards(
     Pass ``eval_docs`` (a (doc_id, text) benchmark set) to drop documents
     sharing any ``decontam_n``-gram with it (``decontaminate``) — the gate
     runs after dedup so the n-gram explode sees the smallest surviving set.
+    ``token_counter``: ``"ws"`` (whitespace, default) or ``"bpe"`` (the
+    BPE-ish regex estimate) decides the token budget the packer fills —
+    use ``"bpe"`` when the trainer's sequence length is subword-denominated.
 
     Every stage is one of the engine's verified operators composed in the
     canonical order (cheapest gates first, so dedup — the only shuffling
@@ -307,7 +311,16 @@ def build_training_shards(
     from pyspark.sql import Observation
 
     from kgspark.ops.dedup import exact_dedup, minhash_dedup
-    from kgspark.ops.textstats import lang_id, quality_features, token_count_ws
+    from kgspark.ops.textstats import (
+        lang_id,
+        quality_features,
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    if token_counter not in ("ws", "bpe"):
+        raise ValueError(f"token_counter must be 'ws' or 'bpe', got {token_counter!r}")
+    count_tokens = token_count_ws if token_counter == "ws" else token_count_bpe
 
     n = F.count(F.lit(1)).alias("n")
     obs_in, obs_lang, obs_qual = Observation(), Observation(), Observation()
@@ -365,7 +378,7 @@ def build_training_shards(
     cur = d.select(
         "doc_id",
         "text",
-        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        count_tokens(F.col("text")).cast("long").alias("n_tokens"),
         split_assign(F.col("doc_id"), salt=salt, val_pct=val_pct, test_pct=test_pct).alias("split"),
         F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
     ).withColumn("_grp", F.concat_ws("|", "split", "shard"))

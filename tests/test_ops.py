@@ -1788,3 +1788,35 @@ def test_cap_per_group_deterministic(spark):
         for r in cap_per_group(df, "grp", "doc_id", k=10, salt="cap-v2").filter("is_kept").collect()
     )
     assert ids3 != ids1 and len(ids3) == 13
+
+
+def test_build_training_shards_bpe_budget(spark, tmp_path):
+    """token_counter='bpe' packs against the subword estimate: totals match
+    token_count_bpe exactly and differ from the whitespace packing."""
+    from kgspark.ops.curation import build_training_shards
+    from kgspark.ops.textstats import token_count_bpe
+
+    rows = [
+        (i, f"the quick brown document number {i} talks about spark joins, shuffles & skew-handling! " * 3)
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = build_training_shards(
+        spark, docs, str(tmp_path / "b"), budget=256, n_shards=2, token_counter="bpe"
+    )
+    written = spark.read.parquet(str(tmp_path / "b") + "/shards")
+    checked = written.select(
+        "n_tokens", token_count_bpe(F.col("text")).cast("long").alias("expected")
+    )
+    assert checked.filter("n_tokens != expected").count() == 0
+    total_bpe = sum(stats[k] for k in stats if k.endswith("_tokens"))
+    stats_ws = build_training_shards(
+        spark, docs, str(tmp_path / "w"), budget=256, n_shards=2
+    )
+    total_ws = sum(stats_ws[k] for k in stats_ws if k.endswith("_tokens"))
+    assert total_bpe != total_ws  # punctuation splits inflate the bpe count
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_training_shards(spark, docs, str(tmp_path / "x"), token_counter="nope")
