@@ -445,6 +445,15 @@ def minhash_dedup_incremental(
     ``minhash_dedup`` over the union would fold; within one batch
     transitivity is exact.
     """
+    # a store built with a different n_perm would silently mis-bucket every
+    # band slice (wrong-recall, not an error) — probe ONE store row up front
+    # (a LIMIT 1 scan reads one row group even on a 100 TB store)
+    probe = existing_sigs.select("sig").first()
+    if probe is not None and len(probe["sig"]) != n_perm:
+        raise ValueError(
+            f"existing_sigs carries {len(probe['sig'])}-perm signatures but "
+            f"n_perm={n_perm}; rebuild the store or pass the matching n_perm"
+        )
     new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perm, shingle_k)
     # two consumers (banding + the final annotation join): materialize so the
     # Python signature stage runs once; batch-scale, not corpus-scale

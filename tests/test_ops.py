@@ -1820,3 +1820,12 @@ def test_build_training_shards_bpe_budget(spark, tmp_path):
 
     with pytest.raises(ValueError):
         build_training_shards(spark, docs, str(tmp_path / "x"), token_counter="nope")
+
+
+def test_minhash_dedup_incremental_nperm_mismatch_guard(spark):
+    """A store built with a different n_perm raises up front instead of
+    silently mis-bucketing every band slice."""
+    docs = spark.createDataFrame([(1, "some text here " * 10)], "doc_id long, text string")
+    store = dedup.minhash_signatures(docs, n_perm=32)
+    with pytest.raises(ValueError, match="32-perm"):
+        dedup.minhash_dedup_incremental(docs, store, n_perm=64)
