@@ -60,6 +60,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # pinned from the deterministic testdata fixtures; regenerate with
 # scripts/pin_witnesses.py after any intentional algorithm change.
 _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
+    ("bpe_encode_docs", "sf0.001"): (500, 6350736065224711673),
+    ("bpe_encode_docs", "sf0.01"): (500, -7623230108795553388),
     ("minhash_dedup_docs", "sf0.001"): (500, 5993671607093944936),
     ("simhash_docs", "sf0.001"): (496, 402494656633553177),
     ("openie_web_corpus", "sf0.001"): (528, -54864093808351467),
@@ -1777,6 +1779,218 @@ FROM nodes LEFT JOIN pern p ON p.n = nodes.u
 """
 
 
+def _kcore_docs(spark, sf):
+    """k-core decomposition (ops/graph_algs.kcore): iterative peeling to
+    the maximal subgraph of min-degree >= 3, fixed 4 rounds so the
+    unrolled-SQL oracle replays the exact same state (set semantics —
+    deterministic under any partitioning). The synthetic graph mixes a
+    dense generator with two sparse tails so peeling actually cascades."""
+    from kgspark.ops.graph_algs import kcore
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = (
+        d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y"))
+        .unionAll(
+            d.filter(F.col("u") < 100).select(F.col("u"), (F.col("u") + 1) % 401)
+        )
+        .unionAll(
+            d.filter(F.col("u") < 50).select(F.col("u"), (F.col("u") * 13 + 5) % 401)
+        )
+    )
+    return kcore(raw, k=3, src="x", dst="y", max_iter=4, until_stable=False)
+
+
+def _kcore_sql(k: int = 3, iters: int = 4) -> str:
+    parts = [
+        """
+WITH nodes AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM nodes
+  UNION ALL SELECT u, (u + 1) % 401 FROM nodes WHERE u < 100
+  UNION ALL SELECT u, (u * 13 + 5) % 401 FROM nodes WHERE u < 50
+),
+e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+d{i} AS (SELECT node, count(*) AS c FROM (
+          SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY node),
+k{i} AS (SELECT node FROM d{i} WHERE c >= {k}),
+e{i} AS (SELECT a, b FROM e{p}
+        WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i}))"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters}) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+_KCORE_SQL = _kcore_sql()
+
+
+def _label_propagation_docs(spark, sf):
+    """Label-propagation communities (ops/graph_algs.label_propagation):
+    synchronous rounds, most-frequent-neighbor label with SMALLEST-label
+    tie-break — a total order, so 3 fixed rounds replay bit-for-bit in
+    the unrolled-SQL oracle (plain LPA's random tie-break could never
+    hash-match across engines)."""
+    from kgspark.ops.graph_algs import label_propagation
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = (
+        d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y"))
+        .unionAll(d.select(F.col("u"), (F.col("u") + 1) % 401))
+    )
+    return label_propagation(raw, src="x", dst="y", max_iter=3)
+
+
+def _label_propagation_sql(iters: int = 3) -> str:
+    parts = [
+        """
+WITH ns AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM ns
+  UNION ALL SELECT u, (u + 1) % 401 FROM ns
+),
+e AS (SELECT DISTINCT x AS u, y AS v FROM raw WHERE x <> y),
+und AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT und.u AS node, l.label, count(*) AS c
+        FROM und JOIN l{p} l ON l.node = und.v GROUP BY und.u, l.label),
+b{i} AS (SELECT node, label AS nl FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+          FROM c{i}) WHERE rn = 1),
+l{i} AS (SELECT l.node, COALESCE(b.nl, l.label) AS label
+        FROM l{p} l LEFT JOIN b{i} b ON b.node = l.node)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{iters}")
+    return "".join(parts)
+
+
+_LABEL_PROPAGATION_SQL = _label_propagation_sql()
+
+
+def _random_walks_docs(spark, sf):
+    """Deterministic DeepWalk corpus (ops/graph_algs.random_walks): 2
+    walks of 3 hops from every non-sink node, each hop a salted-md5 draw
+    over row_number-ranked out-neighbors — rerun/partitioning-stable and
+    engine-portable, so the unrolled-SQL oracle replays every hop
+    (never rand(): the split_assign/cap_per_group determinism contract,
+    extended to an iterative traversal)."""
+    from kgspark.ops.graph_algs import random_walks
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = (
+        d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y"))
+        .unionAll(d.select(F.col("u"), (F.col("u") * 13 + 5) % 401))
+    ).filter(F.col("x") != F.col("y"))
+    return random_walks(raw, walk_length=3, num_walks=2, src="x", dst="y")
+
+
+def _random_walks_sql(steps: int = 3, num_walks: int = 2, salt: str = "walk-v1") -> str:
+    digits = "0123456789abcdef"
+
+    def expansion(h: str) -> str:
+        return " + ".join(
+            f"CAST(strpos('{digits}', substr({h}, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+
+    reps = ", ".join(str(r) for r in range(num_walks))
+    parts = [
+        f"""
+WITH ns AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM ns
+  UNION ALL SELECT u, (u * 13 + 5) % 401 FROM ns
+),
+e AS (SELECT DISTINCT x AS cur, y AS nxt FROM raw WHERE x <> y),
+nbr AS (SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur ORDER BY nxt) AS rnk FROM e),
+degs AS (SELECT cur, count(*) AS deg FROM e GROUP BY cur),
+f0 AS (SELECT CAST(cur AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS walk_id, cur
+       FROM degs, (SELECT unnest([{reps}]) AS rep))"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f""",
+h{t} AS (SELECT walk_id, cur,
+               substr(md5(walk_id || '|{t}|{salt}'), 1, 15) AS h FROM f{p}),
+f{t} AS (SELECT f.walk_id, n.nxt AS cur
+        FROM h{t} f JOIN degs d ON d.cur = f.cur
+        JOIN nbr n ON n.cur = f.cur
+         AND n.rnk = ({expansion('f.h')}) % d.deg + 1)"""
+        )
+    sel = ["SELECT walk_id, 0 AS step, cur AS node FROM f0"]
+    for t in range(1, steps + 1):
+        sel.append(f"SELECT walk_id, {t}, cur FROM f{t}")
+    parts.append("\n" + "\nUNION ALL ".join(sel))
+    return "".join(parts)
+
+
+_RANDOM_WALKS_SQL = _random_walks_sql()
+
+
+def _bpe_pair_counts(spark, sf):
+    """BPE training's inner quantity (ops/bpe.pair_counts): adjacent
+    character-pair frequencies weighted by word frequency over the
+    corpus vocab table — the first-iteration argmax input, fully
+    replayed by the DuckDB oracle (substr pairs over the same
+    lowercased whitespace tokenization)."""
+    from kgspark.ops.bpe import char_symbols, pair_counts, word_freqs
+
+    d = _t(spark, sf, "documents")
+    w = word_freqs(d).select("word", "freq", char_symbols("word").alias("syms"))
+    return pair_counts(w)
+
+
+_BPE_PAIR_COUNTS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+freqs AS (SELECT word, count(*) AS f FROM toks WHERE word <> '' GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, f
+  FROM freqs, LATERAL (SELECT unnest(range(1, length(word))) AS i) u
+  WHERE length(word) >= 2
+)
+SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
+"""
+
+
+def _bpe_encode_docs(spark, sf):
+    """End-to-end distributed BPE (ops/bpe): train 10 merges on the
+    corpus vocab (per-merge argmax is tie-broken lexicographically —
+    deterministic), then encode every document via the segmentation
+    join with character fallback. The merge loop's sequential argmax
+    isn't SQL-expressible, so the query is witness-pinned (the
+    established no-oracle contract); pair counting itself is
+    oracle-checked by `bpe_pair_counts`."""
+    from kgspark.ops.bpe import bpe_encode, bpe_train, word_freqs
+
+    d = _t(spark, sf, "documents")
+    _, seg = bpe_train(word_freqs(d), num_merges=10)
+    out = bpe_encode(d, seg).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
+    )
+    return _witnessed(out, "bpe_encode_docs", sf)
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3072,6 +3286,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_docs": _host_stats_docs,
         "gopher_flags_docs": _gopher_flags_docs,
         "cap_per_host_docs": _cap_per_host_docs,
+        "kcore_docs": _kcore_docs,
+        "label_propagation_docs": _label_propagation_docs,
+        "random_walks_docs": _random_walks_docs,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "bpe_encode_docs": _bpe_encode_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -3188,6 +3407,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
+        "kcore_docs": _KCORE_SQL,
+        "label_propagation_docs": _LABEL_PROPAGATION_SQL,
+        "random_walks_docs": _RANDOM_WALKS_SQL,
+        "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

@@ -31,7 +31,7 @@ standard correction keeping total mass ~ 1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -135,6 +135,200 @@ def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
             .localCheckpoint()
         )
     return ranks.withColumnRenamed("r", "rank_units")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    until_stable: bool = True,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree >= ``k`` within the subgraph) with their in-core degree:
+    ``(node, degree)``.
+
+    Iterative peeling: drop nodes whose current degree is below ``k``,
+    restrict the edge set to survivors, repeat. Each round is one degree
+    aggregation plus two semi-joins, all on node-id shuffle keys;
+    ``localCheckpoint`` cuts lineage per round (the components.py /
+    pagerank discipline). With ``until_stable`` (default) the loop exits
+    early when a round removes nothing — one driver-side count per round,
+    the same trade as float-PageRank's ``tol``. With
+    ``until_stable=False`` it runs exactly ``max_iter`` rounds with no
+    per-round driver action and a partitioning-independent result either
+    way (set semantics end to end) — the mode the unrolled-SQL oracle
+    replays.
+
+    100 TB lens: peeling converges in few rounds on power-law graphs
+    (most sub-k nodes fall in the first 2-3 rounds); per-round cost
+    shrinks with the surviving edge set. Degree-0 isolates never appear
+    (edge-list input), matching the k>=1 contract.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k)
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+        if until_stable:
+            n = e.count()
+            if n == prev_n:
+                break
+            prev_n = n
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities: ``(node, label)`` after
+    exactly ``max_iter`` rounds, labels initialised to the node's own id.
+
+    Each round every node adopts the most frequent label among its
+    neighbors (undirected), ties broken by the SMALLEST label — a total
+    order, so the result is deterministic under any partitioning (plain
+    LPA's random tie-break makes runs non-reproducible; this variant is
+    the one an unrolled-SQL oracle can replay bit-for-bit). Isolated
+    endpoints keep their current label.
+
+    Plan per round: one shuffle to join labels onto edge endpoints, one
+    partial-aggregating count by (node, label), one ``min_by`` over a
+    (-count, label) struct — no window, no sort, no driver action;
+    ``localCheckpoint`` per round cuts lineage. Runs a FIXED round count:
+    synchronous LPA can oscillate on bipartite structures, so "until
+    stable" is not well-defined; fixed rounds keep the contract exact.
+
+    100 TB lens: the count aggregate is map-side combinable on
+    (node, label); hub nodes aggregate rather than explode. Labels
+    monotonically coarsen toward community minima.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().localCheckpoint()
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = counts.groupBy("node").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    num_walks: int = 1,
+    salt: str = "walk-v1",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style deterministic random-walk corpus over a directed
+    edge list: ``(walk_id, step, node)`` rows, ``num_walks`` walks of up
+    to ``walk_length`` steps started from every node with out-edges.
+
+    The "random" choice is a salted md5 draw — at step ``t`` the walk
+    picks out-neighbor rank ``1 + md5_15(walk_id|t|salt) % outdeg`` where
+    neighbors are ranked by ``row_number`` over dst order. That makes the
+    corpus rerun/partitioning-stable, redrawable via ``salt``, and
+    engine-portable (the DuckDB oracle replays every hop bit-for-bit) —
+    never ``rand()``, the same contract as ``cap_per_group`` /
+    ``split_assign``. Walks stop early at sink nodes (no out-edges).
+
+    Plan: the ranked-neighbor table ``(cur, rank, nxt)`` and the degree
+    table are built once (one window per src group — no global sort) and
+    checkpointed; each step is two equi-joins — frontier × degrees to
+    turn the draw into a neighbor rank, then frontier × neighbors on
+    ``(cur, rank)``. Rank is part of the second join's key, so a hub
+    node never pairs its resident walks against its whole adjacency
+    list. Frontier lineage is cut per step.
+
+    100 TB lens: walk state is O(nodes × num_walks) rows with node-id
+    shuffle keys; steps are embarrassingly joinable and the output
+    streams to the sink per step if materialised incrementally. This is
+    the node2vec/DeepWalk corpus generator for KG-embedding training
+    (walks are the "sentences" fed to a skip-gram trainer).
+    """
+    e = edges.select(F.col(src).alias("cur"), F.col(dst).alias("nxt")).distinct()
+    w = Window.partitionBy("cur").orderBy("nxt")
+    nbr = e.withColumn("rank", F.row_number().over(w)).localCheckpoint()
+    degs = nbr.groupBy("cur").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("rep")
+    frontier = (
+        degs.select("cur", reps)
+        .select(
+            F.concat_ws("#", F.col("cur").cast("string"), F.col("rep").cast("string")).alias("walk_id"),
+            "cur",
+        )
+        .localCheckpoint()
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    walks = [out]
+    for t in range(1, walk_length + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("walk_id"), F.lit(str(t)), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        # hop in two equi-joins: (1) frontier x degree table to turn the
+        # draw into a concrete neighbor rank, (2) frontier x ranked-neighbor
+        # table on (cur, rank) — rank IS a join key, so a hub node never
+        # pairs its walks against its whole adjacency list
+        frontier = (
+            frontier.join(degs, "cur")
+            .select("walk_id", "cur", (F.pmod(draw, F.col("deg")) + 1).alias("rank"))
+            .join(nbr, ["cur", "rank"])
+            .select("walk_id", F.col("nxt").alias("cur"))
+            .localCheckpoint()
+        )
+        walks.append(frontier.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")))
+    res = walks[0]
+    for wdf in walks[1:]:
+        res = res.unionAll(wdf)
+    return res
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

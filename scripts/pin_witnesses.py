@@ -27,6 +27,7 @@ WITNESSED = [
     "phash_neardup_media",
     "mp4_container_meta",
     "audiohash_neardup",
+    "bpe_encode_docs",
 ]
 
 
