@@ -1991,6 +1991,171 @@ def _bpe_encode_docs(spark, sf):
     return _witnessed(out, "bpe_encode_docs", sf)
 
 
+def _transe_train_kg(spark, sf):
+    """KG-embedding training (ops/transe.transe_train): 2 full-batch
+    fixed-point TransE epochs over the nation->IN_REGION->region graph,
+    dim 4 — init, corruption draw, scores, hinge, and gradient updates
+    are ALL exact integer arithmetic, so the DuckDB oracle unrolls the
+    entire training run in SQL and hash-matches the final embeddings
+    bit-for-bit (the pagerank_tpch determinism contract, extended from
+    one iterative aggregate to a full learning loop)."""
+    from kgspark.ops.transe import transe_train
+
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    edges = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("src_id"),
+        F.lit("IN_REGION").alias("rel"),
+        F.col("r_name").alias("dst_id"),
+    )
+    ent, rel = transe_train(edges, dim=4, epochs=2)
+    return ent.select(
+        F.lit("e").alias("kind"), "id", F.posexplode("vec").alias("d", "v")
+    ).unionAll(
+        rel.select(F.lit("r").alias("kind"), "id", F.posexplode("vec").alias("d", "v"))
+    )
+
+
+def _transe_sql(
+    dim: int = 4,
+    epochs: int = 2,
+    lr: int = 10_000,
+    margin: int = 1_000_000,
+    amp: int = 500_000,
+    scale: int = 1_000_000,
+    init_salt: str = "transe-init-v1",
+    neg_salt: str = "transe-neg-v1",
+) -> str:
+    digits = "0123456789abcdef"
+
+    def expansion(h: str) -> str:
+        return " + ".join(
+            f"CAST(strpos('{digits}', substr({h}, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+
+    def fdiv(x: str) -> str:
+        return (
+            f"CAST(({x} - ((({x}) % {scale}) + {scale}) % {scale}) / {scale} AS BIGINT)"
+        )
+
+    span = 2 * amp + 1
+    parts = [
+        f"""
+WITH t AS (
+  SELECT DISTINCT n_name AS s, 'IN_REGION' AS r, r_name AS o
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+ents AS (SELECT DISTINCT id FROM (SELECT s AS id FROM t UNION ALL SELECT o FROM t)),
+rels AS (SELECT DISTINCT r AS id FROM t),
+dims AS (SELECT CAST(u.i AS INT) AS d FROM unnest(range(0, {dim})) u(i)),
+e0 AS (
+  SELECT 'e' AS kind, id, d, (({expansion('h')}) % {span}) - {amp} AS v
+  FROM (SELECT id, d, md5(concat_ws('|', '{init_salt}', id, CAST(d AS VARCHAR))) AS h
+        FROM ents, dims)
+  UNION ALL
+  SELECT 'r', id, d, (({expansion('h')}) % {span}) - {amp}
+  FROM (SELECT id, d, md5(concat_ws('|', '{init_salt}', id, CAST(d AS VARCHAR))) AS h
+        FROM rels, dims)
+),
+idxn AS (SELECT id AS cand, row_number() OVER (ORDER BY id) - 1 AS idx FROM ents),
+nn AS (SELECT count(*) AS n FROM ents),
+pr AS (SELECT s, r, o, ({expansion('h')}) % (SELECT n FROM nn) AS idx
+       FROM (SELECT s, r, o, md5(concat_ws('|', '{neg_salt}', s, r, o, '0')) AS h FROM t)),
+pairs AS (
+  SELECT p.s, p.r, p.o, i.cand AS oneg
+  FROM pr p JOIN idxn i USING (idx)
+  LEFT JOIN t t2 ON t2.s = p.s AND t2.r = p.r AND t2.o = i.cand
+  WHERE t2.s IS NULL
+)"""
+    ]
+    for t in range(1, epochs + 1):
+        p = t - 1
+        parts.append(
+            f""",
+pe{t} AS (
+  SELECT p.s, p.r, p.o, p.oneg, es.d,
+         es.v + rr.v - eo.v AS dp, es.v + rr.v - en.v AS dn
+  FROM pairs p
+  JOIN e{p} es ON es.kind = 'e' AND es.id = p.s
+  JOIN e{p} eo ON eo.kind = 'e' AND eo.id = p.o AND eo.d = es.d
+  JOIN e{p} en ON en.kind = 'e' AND en.id = p.oneg AND en.d = es.d
+  JOIN e{p} rr ON rr.kind = 'r' AND rr.id = p.r AND rr.d = es.d
+),
+sc{t} AS (SELECT s, r, o, oneg,
+                 CAST(sum({fdiv('(dp*dp)')}) AS BIGINT) AS fp,
+                 CAST(sum({fdiv('(dn*dn)')}) AS BIGINT) AS fn
+          FROM pe{t} GROUP BY s, r, o, oneg),
+act{t} AS (SELECT s, r, o, oneg FROM sc{t} WHERE {margin} + fp - fn > 0),
+g{t} AS (SELECT pe.s, pe.r, pe.o, pe.oneg, pe.d,
+                {fdiv(f'(2*dp*{lr})')} AS gp, {fdiv(f'(2*dn*{lr})')} AS gn
+         FROM pe{t} pe JOIN act{t} a
+           ON a.s = pe.s AND a.r = pe.r AND a.o = pe.o AND a.oneg = pe.oneg),
+c{t} AS (
+  SELECT 'e' AS kind, s AS id, d, gp - gn AS g FROM g{t}
+  UNION ALL SELECT 'e', o, d, -gp FROM g{t}
+  UNION ALL SELECT 'e', oneg, d, gn FROM g{t}
+  UNION ALL SELECT 'r', r, d, gp - gn FROM g{t}),
+gr{t} AS (SELECT kind, id, d, CAST(sum(g) AS BIGINT) AS g FROM c{t} GROUP BY kind, id, d),
+e{t} AS (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
+         FROM e{p} e LEFT JOIN gr{t} gr
+           ON gr.kind = e.kind AND gr.id = e.id AND gr.d = e.d)"""
+        )
+    parts.append(
+        f"\nSELECT kind, id, d, CAST(v AS BIGINT) AS v FROM e{epochs}"
+    )
+    return "".join(parts)
+
+
+_TRANSE_TRAIN_SQL = _transe_sql()
+
+
+def _landmark_distance_docs(spark, sf):
+    """Landmark shortest-path precompute (ops/graph_algs.
+    landmark_distances): exact 3-hop multi-source BFS from 3 landmarks
+    over the synthetic doc graph, fixed rounds with zero driver actions —
+    min-over-set semantics make the result partitioning-invariant and the
+    unrolled-SQL oracle replays every relaxation round."""
+    from kgspark.ops.graph_algs import landmark_distances
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y")).unionAll(
+        d.filter(F.col("u") < 100).select(F.col("u"), (F.col("u") + 1) % 401)
+    )
+    lms = d.filter(F.col("u").isin(0, 7, 13)).select(F.col("u").alias("landmark"))
+    return landmark_distances(raw, lms, max_hops=3, src="x", dst="y")
+
+
+def _landmark_sql(hops: int = 3) -> str:
+    parts = [
+        """
+WITH ns AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM ns
+  UNION ALL SELECT u, (u + 1) % 401 FROM ns WHERE u < 100
+),
+e AS (SELECT DISTINCT u, v FROM (
+        SELECT x AS u, y AS v FROM raw UNION ALL SELECT y, x FROM raw)
+      WHERE u <> v),
+d0 AS (SELECT u AS landmark, u AS node, 0 AS dist FROM ns WHERE u IN (0, 7, 13))"""
+    ]
+    for t in range(1, hops + 1):
+        p = t - 1
+        parts.append(
+            f""",
+d{t} AS (SELECT landmark, node, min(dist) AS dist FROM (
+          SELECT landmark, node, dist FROM d{p}
+          UNION ALL SELECT d.landmark, e.v, d.dist + 1 FROM d{p} d JOIN e ON e.u = d.node)
+        GROUP BY landmark, node)"""
+        )
+    parts.append(
+        f"\nSELECT landmark, node, CAST(dist AS BIGINT) AS dist FROM d{hops}"
+    )
+    return "".join(parts)
+
+
+_LANDMARK_DISTANCE_SQL = _landmark_sql()
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3291,6 +3456,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_docs": _random_walks_docs,
         "bpe_pair_counts": _bpe_pair_counts,
         "bpe_encode_docs": _bpe_encode_docs,
+        "transe_train_kg": _transe_train_kg,
+        "landmark_distance_docs": _landmark_distance_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -3411,6 +3578,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_docs": _LABEL_PROPAGATION_SQL,
         "random_walks_docs": _RANDOM_WALKS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+        "transe_train_kg": _TRANSE_TRAIN_SQL,
+        "landmark_distance_docs": _LANDMARK_DISTANCE_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

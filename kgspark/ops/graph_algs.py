@@ -394,3 +394,67 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(per_node, "node", "left")
         .select("node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
     )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    until_stable: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: exact shortest hop-distance from every landmark
+    to every node within ``max_hops``: ``(landmark, node, dist)``.
+    Unreached (landmark, node) combinations are absent (distance infinity).
+
+    Landmark distances are the scalable stand-in for all-pairs shortest
+    paths (ALT / landmark labeling): pick ~dozens of high-PageRank
+    landmarks, precompute these rows, and answer distance / "within k
+    hops of X" KG queries with a join instead of a per-query BFS — the
+    batch precompute behind query/subgraph.py's per-seed expansion.
+
+    Each round relaxes the frontier through one edge join, unions into
+    the known-distance table, and keeps ``min(dist)`` per (landmark,
+    node) — a map-side-combinable aggregate on the shuffle key the next
+    join reuses; lineage cut per round. Default runs exactly ``max_hops``
+    rounds with zero driver actions and a partitioning-invariant result
+    (min over set semantics) — the mode the unrolled-SQL oracle replays.
+    ``until_stable`` adds a per-round count action to stop as soon as a
+    round discovers nothing (useful when diameter << max_hops).
+
+    100 TB lens: state is |landmarks| x reached-nodes rows keyed by node
+    id — bounded by design (landmarks are dozens, not millions); the edge
+    table is the big side and is joined on its shuffle key every round.
+    Frontier-only relaxation (joining just the newly-discovered rows)
+    keeps each round's join input minimal.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    lm_col = landmarks.columns[0]
+    dist = (
+        landmarks.select(F.col(lm_col).alias("landmark"))
+        .distinct()
+        .select("landmark", F.col("landmark").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(e, frontier.node == e.u)
+            .select("landmark", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        # new frontier = nodes this landmark had never reached before
+        frontier = (
+            relaxed.groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("landmark", "node"), ["landmark", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        dist = dist.unionAll(frontier).localCheckpoint()
+        if until_stable and frontier.isEmpty():
+            break
+    return dist.select("landmark", "node", F.col("dist").cast("long").alias("dist"))

@@ -81,11 +81,14 @@ def negative_samples(
     nodes: DataFrame,
     n_per_positive: int = 2,
     salt: str = "neg-v1",
+    keep_positive: bool = False,
 ) -> DataFrame:
     """(src_id, rel, dst_id) x nodes -> corrupted (src_id, rel, neg_dst_id)
     rows, up to ``n_per_positive`` per true edge (trials that collide with
     a true edge are dropped). ``salt`` versions the sample set — a new salt
-    is a fresh deterministic draw."""
+    is a fresh deterministic draw. ``keep_positive`` adds the positive
+    ``dst_id`` column so margin-loss trainers (ops/transe.py) get
+    (positive, corrupted) PAIRS instead of bare corruptions."""
     indexed = dense_index(nodes.select(F.col("entity_id").alias("cand_dst")), "cand_dst")
     n_nodes = indexed.count()
     trials = edges.select(
@@ -118,11 +121,13 @@ def negative_samples(
     cand = trials.withColumn("idx", F.pmod(h, F.lit(n_nodes)))
     neg = (
         cand.join(indexed, "idx")
-        .select("src_id", "rel", F.col("cand_dst").alias("neg_dst_id"), "trial")
+        .select("src_id", "rel", "dst_id", F.col("cand_dst").alias("neg_dst_id"), "trial")
     )
     true_edges = edges.select(
         "src_id", "rel", F.col("dst_id").alias("neg_dst_id")
     ).distinct()
-    return neg.join(true_edges, ["src_id", "rel", "neg_dst_id"], "left_anti").select(
-        "src_id", "rel", "neg_dst_id", "trial"
-    )
+    filtered = neg.join(true_edges, ["src_id", "rel", "neg_dst_id"], "left_anti")
+    cols = ["src_id", "rel", "neg_dst_id", "trial"]
+    if keep_positive:
+        cols = ["src_id", "rel", "dst_id", "neg_dst_id", "trial"]
+    return filtered.select(*cols)
