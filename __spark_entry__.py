@@ -2024,6 +2024,11 @@ def _transe_sql(
     scale: int = 1_000_000,
     init_salt: str = "transe-init-v1",
     neg_salt: str = "transe-neg-v1",
+    t_sql: str = (
+        "SELECT DISTINCT n_name AS s, 'IN_REGION' AS r, r_name AS o\n"
+        "  FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ),
+    final: str | None = None,
 ) -> str:
     digits = "0123456789abcdef"
 
@@ -2041,14 +2046,13 @@ def _transe_sql(
     span = 2 * amp + 1
     parts = [
         f"""
-WITH t AS (
-  SELECT DISTINCT n_name AS s, 'IN_REGION' AS r, r_name AS o
-  FROM nation JOIN region ON n_regionkey = r_regionkey
+WITH t AS MATERIALIZED (
+  {t_sql}
 ),
-ents AS (SELECT DISTINCT id FROM (SELECT s AS id FROM t UNION ALL SELECT o FROM t)),
+ents AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT s AS id FROM t UNION ALL SELECT o FROM t)),
 rels AS (SELECT DISTINCT r AS id FROM t),
 dims AS (SELECT CAST(u.i AS INT) AS d FROM unnest(range(0, {dim})) u(i)),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT 'e' AS kind, id, d, (({expansion('h')}) % {span}) - {amp} AS v
   FROM (SELECT id, d, md5(concat_ws('|', '{init_salt}', id, CAST(d AS VARCHAR))) AS h
         FROM ents, dims)
@@ -2061,7 +2065,7 @@ idxn AS (SELECT id AS cand, row_number() OVER (ORDER BY id) - 1 AS idx FROM ents
 nn AS (SELECT count(*) AS n FROM ents),
 pr AS (SELECT s, r, o, ({expansion('h')}) % (SELECT n FROM nn) AS idx
        FROM (SELECT s, r, o, md5(concat_ws('|', '{neg_salt}', s, r, o, '0')) AS h FROM t)),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT p.s, p.r, p.o, i.cand AS oneg
   FROM pr p JOIN idxn i USING (idx)
   LEFT JOIN t t2 ON t2.s = p.s AND t2.r = p.r AND t2.o = i.cand
@@ -2072,7 +2076,7 @@ pairs AS (
         p = t - 1
         parts.append(
             f""",
-pe{t} AS (
+pe{t} AS MATERIALIZED (
   SELECT p.s, p.r, p.o, p.oneg, es.d,
          es.v + rr.v - eo.v AS dp, es.v + rr.v - en.v AS dn
   FROM pairs p
@@ -2096,17 +2100,132 @@ c{t} AS (
   UNION ALL SELECT 'e', oneg, d, gn FROM g{t}
   UNION ALL SELECT 'r', r, d, gp - gn FROM g{t}),
 gr{t} AS (SELECT kind, id, d, CAST(sum(g) AS BIGINT) AS g FROM c{t} GROUP BY kind, id, d),
-e{t} AS (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
+e{t} AS MATERIALIZED (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
          FROM e{p} e LEFT JOIN gr{t} gr
            ON gr.kind = e.kind AND gr.id = e.id AND gr.d = e.d)"""
         )
-    parts.append(
-        f"\nSELECT kind, id, d, CAST(v AS BIGINT) AS v FROM e{epochs}"
-    )
+    if final is None:
+        final = f"\nSELECT kind, id, d, CAST(v AS BIGINT) AS v FROM e{epochs}"
+    parts.append(final.format(E=f"e{epochs}", FDIV_X=fdiv("(X)")))
     return "".join(parts)
 
 
 _TRANSE_TRAIN_SQL = _transe_sql()
+
+
+def _lp_eval_sql(dim: int = 4, epochs: int = 2, scale: int = 1_000_000) -> str:
+    def fdiv(x: str) -> str:
+        return (
+            f"CAST(({x} - ((({x}) % {scale}) + {scale}) % {scale}) / {scale} AS BIGINT)"
+        )
+
+    diff = "(es.v + rr.v - ec.v)"
+    final = f""",
+pairs2 AS (
+  SELECT t.s, t.r, t.o, c.id AS cand
+  FROM t, ents c
+  WHERE NOT EXISTS (SELECT 1 FROM t k
+                    WHERE k.s = t.s AND k.r = t.r AND k.o = c.id AND c.id <> t.o)
+),
+scq AS MATERIALIZED (
+  SELECT p.s, p.r, p.o, p.cand,
+         CAST(sum({fdiv(f'({diff}*{diff})')}) AS BIGINT) AS score
+  FROM pairs2 p
+  JOIN {{E}} es ON es.kind = 'e' AND es.id = p.s
+  JOIN {{E}} ec ON ec.kind = 'e' AND ec.id = p.cand AND ec.d = es.d
+  JOIN {{E}} rr ON rr.kind = 'r' AND rr.id = p.r AND rr.d = es.d
+  GROUP BY p.s, p.r, p.o, p.cand
+),
+tru AS (SELECT s, r, o, score AS ts FROM scq WHERE cand = o)
+SELECT q.s, q.r, q.o,
+       CAST(1 + count(CASE WHEN q.score < tru.ts
+                            OR (q.score = tru.ts AND q.cand < q.o)
+                           THEN 1 END) AS BIGINT) AS rank
+FROM scq q JOIN tru ON q.s = tru.s AND q.r = tru.r AND q.o = tru.o
+GROUP BY q.s, q.r, q.o"""
+    return _transe_sql(
+        dim=dim,
+        epochs=epochs,
+        scale=scale,
+        t_sql=(
+            "SELECT DISTINCT r_name AS s, 'HAS_NATION' AS r, n_name AS o\n"
+            "  FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        final=final,
+    )
+
+
+_LP_EVAL_SQL = _lp_eval_sql()
+
+
+def _lp_eval_kg(spark, sf):
+    """Link-prediction evaluation (ops/transe.link_prediction_ranks,
+    FILTERED setting): train 2 fixed-point TransE epochs on the
+    region->HAS_NATION->nation graph (5 true destinations per source, so
+    the filtered setting actually removes competitors), then rank every
+    true destination among all entities with deterministic id
+    tie-breaking. Scores are exact integers, so the DuckDB oracle
+    replays training AND ranking end to end."""
+    from kgspark.ops.transe import link_prediction_ranks, transe_train
+
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    edges = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("r_name").alias("src_id"),
+        F.lit("HAS_NATION").alias("rel"),
+        F.col("n_name").alias("dst_id"),
+    )
+    ent, rel = transe_train(edges, dim=4, epochs=2)
+    return link_prediction_ranks(edges, ent, rel, filter_triples=edges).select(
+        F.col("s"), F.col("r"), F.col("o"), F.col("rank")
+    )
+
+
+def _bm25_docs(spark, sf):
+    """BM25 sparse retrieval (ops/textstats.bm25_rank) for the query
+    {hash, join, spark} over the documents corpus — the keyword tier of
+    a hybrid RAG stack next to the dense ANN tier. The idf log is
+    rounded once per TERM to millinats; every per-(doc, term)
+    contribution is exact bigint `div` arithmetic, so per-doc sums
+    commute and the oracle hash-matches (incl. the micro->double score
+    division, exact below 2^53)."""
+    from kgspark.ops.textstats import bm25_rank
+
+    return bm25_rank(_t(spark, sf, "documents"), ["hash", "join", "spark"])
+
+
+_BM25_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+qt AS (SELECT doc_id, term FROM t2 WHERE term IN ('hash', 'join', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+idf AS (SELECT term,
+               CAST(round(ln(1 + ((SELECT n FROM tot) - df + 0.5) / (df + 0.5)) * 1000)
+                    AS BIGINT) AS idf_milli
+        FROM dfq),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (1000 * dl.dl * (SELECT n FROM tot)) // (SELECT t FROM tot) AS r1
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+),
+sc2 AS (SELECT doc_id, term, tf, 250 + (750 * r1) // 1000 AS norm_milli FROM sc),
+sc3 AS (SELECT doc_id, term, tf, 1000 * tf + (1200 * norm_milli) // 1000 AS denom_milli
+        FROM sc2),
+sc4 AS (SELECT doc_id,
+               (idf.idf_milli * tf * 2200 * 1000) // denom_milli AS contrib_micro
+        FROM sc3 JOIN idf ON sc3.term = idf.term)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched_terms,
+       CAST(sum(contrib_micro) AS BIGINT) AS score_micro,
+       CAST(sum(contrib_micro) AS BIGINT) / 1000000.0 AS score
+FROM sc4 GROUP BY doc_id
+"""
 
 
 def _landmark_distance_docs(spark, sf):
@@ -3458,6 +3577,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": _bpe_encode_docs,
         "transe_train_kg": _transe_train_kg,
         "landmark_distance_docs": _landmark_distance_docs,
+        "lp_eval_kg": _lp_eval_kg,
+        "bm25_docs": _bm25_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -3580,6 +3701,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "transe_train_kg": _TRANSE_TRAIN_SQL,
         "landmark_distance_docs": _LANDMARK_DISTANCE_SQL,
+        "lp_eval_kg": _LP_EVAL_SQL,
+        "bm25_docs": _BM25_DOCS_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

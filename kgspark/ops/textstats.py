@@ -348,3 +348,106 @@ def gopher_quality_flags(
     for name in flags:
         passed = F.col(name) if passed is None else (passed & F.col(name))
     return out.withColumn("gopher_pass", passed)
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: (id, score_micro, score)
+    for every document matching at least one query term — the sparse
+    retriever that complements the dense ANN tier (ops/similarity.py) in
+    a hybrid RAG stack. k1/b are fixed-point millis (1200/750 = the
+    standard 1.2/0.75).
+
+    score(d) = sum_{t in q} idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones,
+    non-negative variant).
+
+    Determinism discipline (the unigram_logprob contract): the only
+    transcendental — ln of the DOCUMENT-FREQUENCY ratio, a per-TERM
+    quantity — is rounded once to millinat bigints; every per-(doc, term)
+    contribution is then exact integer arithmetic floored to micro-units,
+    so the per-doc sum commutes under any partition order and the DuckDB
+    oracle hash-matches. Intermediate rescale steps (dl_ratio, norm,
+    denom in millis) keep every product far below 2^63 even at
+    10^13-token corpora — no overflow cliff at scale.
+
+    Shuffle shape: one corpus pass for per-doc lengths (map-side
+    combinable count), one for query-term tf (the term filter is a
+    broadcast literal isin, pushed to the scan), N/T ride a broadcast
+    1-row aggregate, df is a query-terms-sized aggregate. No Python,
+    no window, no global sort.
+    """
+    q = sorted({t.lower() for t in query_terms if t})
+    if not q:
+        raise ValueError("query_terms must contain at least one non-empty term")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    terms = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_t")
+    )  # 1-row broadcast
+    qterms = terms.filter(F.col("term").isin(q))
+    tf = qterms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qterms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("idf_milli"),
+    )
+    # exact integer chain, milli-scaled at every step to bound magnitudes;
+    # every quotient is Spark's bigint `div` (all operands positive, so
+    # div == floor) — never a double division, so exactness survives
+    # 10^13-token corpora where products exceed 2^53 (DuckDB replays
+    # with `//`):
+    # dl_ratio_milli = (1000*dl*N) div T; norm_milli = 1000-b + (b*ratio) div 1000;
+    # denom_milli = 1000*tf + (k1*norm) div 1000; contrib_micro =
+    # (idf_milli * tf * (k1+1000) * 1000) div denom_milli
+    scored = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("dl_ratio_milli", F.expr("(1000 * dl * _n) div _t"))
+        .withColumn(
+            "norm_milli",
+            F.expr(f"{1000 - b_milli} + ({b_milli} * dl_ratio_milli) div 1000"),
+        )
+        .withColumn(
+            "denom_milli",
+            F.expr(f"1000 * tf + ({k1_milli} * norm_milli) div 1000"),
+        )
+        .join(idf, "term")
+        .withColumn(
+            "contrib_micro",
+            F.expr(
+                f"(idf_milli * tf * {k1_milli + 1000} * 1000) div denom_milli"
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.sum("contrib_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    return out.select(
+        id_col,
+        "n_matched_terms",
+        "score_micro",
+        (F.col("score_micro") / 1e6).alias("score"),
+    )

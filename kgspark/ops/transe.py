@@ -278,3 +278,128 @@ def embeddings_to_float(emb: DataFrame, scale: int = 1_000_000) -> DataFrame:
         "id",
         F.transform("vec", lambda x: x / F.lit(float(scale))).alias("vec"),
     )
+
+
+def link_prediction_ranks(
+    test: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    filter_triples: DataFrame | None = None,
+    scale: int = 1_000_000,
+    max_candidates: int = 100_000,
+    src: str = "src_id",
+    rel: str = "rel",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Link-prediction evaluation ranks: for each test (s, r, o), the rank
+    of the true o among ALL entities scored as candidate destinations
+    (lower energy = better) -> test rows + ``rank``.
+
+    Rank is 1 + |{cand : f(cand) < f(o)}| + |{cand : f(cand) = f(o),
+    cand < o}| — ties broken by id order, a total order, so the rank is
+    deterministic and the DuckDB oracle replays it (scores are exact
+    integers from transe_score). ``filter_triples`` enables the standard
+    "filtered" setting: for test (s, r, o), candidates that are
+    known-true destinations of (s, r) OTHER than o itself never count
+    against o's rank.
+
+    Scoring cost is |distinct (s, r)| x |V| — each candidate is scored
+    ONCE per query (s, r), not once per test triple; the per-o candidate
+    exclusion is a flag on the shared score table, so 5 test triples
+    sharing a query cost one scoring pass. The candidate list is
+    broadcast (eval-tier NLJ, the ops/similarity.py exact-kernel
+    pattern) and guarded by ``max_candidates`` — beyond that, shard the
+    test set or type-filter candidates rather than silently exploding.
+    """
+    cands = ent_emb.select(F.col("id").alias("_cand"))
+    n_cand = cands.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"{n_cand} candidate entities exceeds max_candidates="
+            f"{max_candidates}; shard the test set or type-filter candidates"
+        )
+    t = test.select(
+        F.col(src).alias("s"), F.col(rel).alias("r"), F.col(dst).alias("o")
+    ).distinct()
+    pairs = t.select("s", "r").distinct().crossJoin(F.broadcast(cands))
+    scored = transe_score(
+        pairs.select(
+            F.col("s").alias(src), F.col("r").alias(rel), F.col("_cand").alias(dst)
+        ),
+        ent_emb,
+        rel_emb,
+        scale=scale,
+        src=src,
+        rel=rel,
+        dst=dst,
+    ).select(
+        F.col(src).alias("s"),
+        F.col(rel).alias("r"),
+        F.col(dst).alias("_cand"),
+        "score_units",
+    )
+    if filter_triples is not None:
+        known = filter_triples.select(
+            F.col(src).alias("s"),
+            F.col(rel).alias("r"),
+            F.col(dst).alias("_cand"),
+            F.lit(True).alias("_known"),
+        ).distinct()
+        scored = scored.join(known, ["s", "r", "_cand"], "left").withColumn(
+            "_known", F.coalesce("_known", F.lit(False))
+        )
+    else:
+        scored = scored.withColumn("_known", F.lit(False))
+    true_sc = (
+        scored.join(
+            t.select("s", "r", F.col("o").alias("_cand"), F.col("o")),
+            ["s", "r", "_cand"],
+        )
+        .select("s", "r", "o", F.col("score_units").alias("_tscore"))
+    )
+    # a known-true competitor (cand != o) never counts against o; cand == o
+    # never beats itself, so the ~_known filter is safe for it too
+    beats = (
+        scored.join(true_sc, ["s", "r"])
+        .filter(
+            ~F.col("_known")
+            & (
+                (F.col("score_units") < F.col("_tscore"))
+                | (
+                    (F.col("score_units") == F.col("_tscore"))
+                    & (F.col("_cand") < F.col("o"))
+                )
+            )
+        )
+        .groupBy("s", "r", "o")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        true_sc.select("s", "r", "o")
+        .join(beats, ["s", "r", "o"], "left")
+        .select(
+            "s",
+            "r",
+            "o",
+            (F.coalesce("_n", F.lit(0)) + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+def lp_metrics(ranks: DataFrame, ks: tuple[int, ...] = (1, 3, 10)) -> DataFrame:
+    """MRR + Hits@k summary over a ``link_prediction_ranks`` table, one
+    row: (n, mrr_micro, hits_1, hits_3, hits_10, ...). MRR is summed in
+    exact micro-units (floor(1e6 / rank) per row, bigint) so the
+    distributed aggregate is partition-order-exact; divide by n for the
+    float MRR."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.lit(1_000_000) / F.col("rank")).cast("long")).alias(
+            "rr_micro_sum"
+        ),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum((F.col("rank") <= k).cast("long")).alias(f"hits_{k}")
+        )
+    return ranks.agg(*aggs)

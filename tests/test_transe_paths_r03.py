@@ -186,3 +186,149 @@ class TestLandmarkDistances:
             )
         )
         assert a == b
+
+
+class TestLinkPredictionEval:
+    def _embs(self, spark):
+        # dim-1 hand-crafted embeddings: distances fully predictable
+        ent = spark.createDataFrame(
+            [("a", [0]), ("b", [0]), ("c", [1000])], "id string, vec array<bigint>"
+        )
+        rel = spark.createDataFrame([("R", [0])], "id string, vec array<bigint>")
+        return ent, rel
+
+    def test_rank_with_deterministic_tie_break(self, spark):
+        from kgspark.ops.transe import link_prediction_ranks
+
+        ent, rel = self._embs(spark)
+        test = spark.createDataFrame(
+            [("a", "R", "b")], "src_id string, rel string, dst_id string"
+        )
+        # scores vs (a,R): a->0, b->0, c->floor(1000^2/1e6)=1
+        # b ties with a; tie-break a<b counts against b -> rank 2
+        (row,) = link_prediction_ranks(test, ent, rel).collect()
+        assert (row.s, row.r, row.o, row.rank) == ("a", "R", "b", 2)
+
+    def test_filtered_setting_excludes_known_competitor(self, spark):
+        from kgspark.ops.transe import link_prediction_ranks
+
+        ent, rel = self._embs(spark)
+        test = spark.createDataFrame(
+            [("a", "R", "b")], "src_id string, rel string, dst_id string"
+        )
+        known = spark.createDataFrame(
+            [("a", "R", "b"), ("a", "R", "a")],
+            "src_id string, rel string, dst_id string",
+        )
+        # raw rank 2 (a ties and wins tie-break); filtered removes known
+        # competitor a -> rank 1
+        (row,) = link_prediction_ranks(test, ent, rel, filter_triples=known).collect()
+        assert row.rank == 1
+
+    def test_metrics(self, spark):
+        from kgspark.ops.transe import lp_metrics
+
+        ranks = spark.createDataFrame(
+            [("a", "R", "b", 1), ("a", "R", "c", 4), ("b", "R", "c", 20)],
+            "s string, r string, o string, rank long",
+        )
+        (m,) = lp_metrics(ranks).collect()
+        assert m.n == 3
+        assert m.rr_micro_sum == 1_000_000 + 250_000 + 50_000
+        assert (m.hits_1, m.hits_3, m.hits_10) == (1, 1, 2)
+
+    def test_max_candidates_guard(self, spark):
+        from kgspark.ops.transe import link_prediction_ranks
+
+        ent, rel = self._embs(spark)
+        test = spark.createDataFrame(
+            [("a", "R", "b")], "src_id string, rel string, dst_id string"
+        )
+        with pytest.raises(ValueError, match="max_candidates"):
+            link_prediction_ranks(test, ent, rel, max_candidates=2)
+
+
+class TestBM25:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark join spark table"),
+            (2, "join table row value"),
+            (3, "the quick brown fox"),
+            (4, "spark spark spark spark spark spark"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _expected(rows, query, k1=1200, b=750):
+        """Independent integer replication of the BM25 fixed-point chain."""
+        import math
+
+        toks = {i: t.lower().split() for i, t in rows}
+        dl = {i: len(ts) for i, ts in toks.items()}
+        n, tot = len(dl), sum(dl.values())
+        out = {}
+        for term in query:
+            df = sum(1 for ts in toks.values() if term in ts)
+            if df == 0:
+                continue
+            idf = round(math.log(1 + (n - df + 0.5) / (df + 0.5)) * 1000)
+            for i, ts in toks.items():
+                tf = ts.count(term)
+                if not tf:
+                    continue
+                r1 = (1000 * dl[i] * n) // tot
+                norm = (1000 - b) + (b * r1) // 1000
+                denom = 1000 * tf + (k1 * norm) // 1000
+                out.setdefault(i, 0)
+                out[i] += (idf * tf * (k1 + 1000) * 1000) // denom
+        return out
+
+    def test_exact_scores_vs_independent_replication(self, spark):
+        from kgspark.ops.textstats import bm25_rank
+
+        rows = [
+            (1, "spark join spark table"),
+            (2, "join table row value"),
+            (3, "the quick brown fox"),
+            (4, "spark spark spark spark spark spark"),
+        ]
+        got = {
+            r.doc_id: r.score_micro
+            for r in bm25_rank(self._docs(spark), ["spark", "join"]).collect()
+        }
+        assert got == self._expected(rows, ["spark", "join"])
+
+    def test_rare_term_outweighs_common(self, spark):
+        from kgspark.ops.textstats import bm25_rank
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common rare"),
+                (2, "common x"),
+                (3, "common y"),
+                (4, "common z"),
+            ],
+            "doc_id long, text string",
+        )
+        scores = {
+            r.doc_id: r.score_micro
+            for r in bm25_rank(docs, ["common", "rare"]).collect()
+        }
+        # doc 1 has the rare term -> scores strictly higher than the others
+        assert scores[1] > max(scores[2], scores[3], scores[4])
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.textstats import bm25_rank
+
+        d = self._docs(spark)
+        a = sorted(map(tuple, bm25_rank(d, ["spark", "join"]).collect()))
+        b = sorted(
+            map(tuple, bm25_rank(d.repartition(7), ["spark", "join"]).collect())
+        )
+        assert a == b
+
+    def test_empty_query_raises(self, spark):
+        from kgspark.ops.textstats import bm25_rank
+
+        with pytest.raises(ValueError):
+            bm25_rank(self._docs(spark), [])
