@@ -377,11 +377,19 @@ def bm25_rank(
     denom in millis) keep every product far below 2^63 even at
     10^13-token corpora — no overflow cliff at scale.
 
-    Shuffle shape: one corpus pass for per-doc lengths (map-side
-    combinable count), one for query-term tf (the term filter is a
-    broadcast literal isin, pushed to the scan), N/T ride a broadcast
-    1-row aggregate, df is a query-terms-sized aggregate. No Python,
-    no window, no global sort.
+    Shuffle shape — ONE corpus scan: a single per-doc aggregate computes
+    dl AND a conditional-sum tf column per query term in the same pass
+    (the query is a fixed small list, so tf columns are pivot-style
+    ``sum(term = q_i)`` expressions), then is localCheckpoint'd — the
+    materialization is (2+|q|) longs per doc, smaller than the shuffle
+    the aggregate already paid. Every downstream quantity — N/T totals
+    (broadcast 1-row), per-term df (an aggregate of the stacked tf rows,
+    NOT a corpus recount), the score rows — reads that checkpoint, so
+    the corpus is read and exploded exactly once regardless of query
+    length. (Plain subtree sharing can't do this: column pruning gives
+    each consumer a different canonical subtree, so Spark materializes
+    no ReusedExchange — measured, 8 scans without the checkpoint.)
+    No Python, no window, no global sort.
     """
     q = sorted({t.lower() for t in query_terms if t})
     if not q:
@@ -394,13 +402,25 @@ def bm25_rank(
         .select(F.col(id_col), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
     )
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
+    # one per-doc aggregate: dl + one conditional tf per query term;
+    # checkpointed so all three consumers read it without re-scanning
+    perdoc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(q)
+        ],
+    ).localCheckpoint()
+    totals = perdoc.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_t")
     )  # 1-row broadcast
-    qterms = terms.filter(F.col("term").isin(q))
-    tf = qterms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = qterms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stack_expr = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(q))
+    tf = perdoc.select(
+        id_col,
+        "dl",
+        F.expr(f"stack({len(q)}, {stack_expr}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(totals)).select(
         "term",
         F.round(
@@ -422,8 +442,7 @@ def bm25_rank(
     # denom_milli = 1000*tf + (k1*norm) div 1000; contrib_micro =
     # (idf_milli * tf * (k1+1000) * 1000) div denom_milli
     scored = (
-        tf.join(dl, id_col)
-        .crossJoin(F.broadcast(totals))
+        tf.crossJoin(F.broadcast(totals))
         .withColumn("dl_ratio_milli", F.expr("(1000 * dl * _n) div _t"))
         .withColumn(
             "norm_milli",
@@ -433,7 +452,7 @@ def bm25_rank(
             "denom_milli",
             F.expr(f"1000 * tf + ({k1_milli} * norm_milli) div 1000"),
         )
-        .join(idf, "term")
+        .join(F.broadcast(idf), "term")
         .withColumn(
             "contrib_micro",
             F.expr(
