@@ -3307,6 +3307,82 @@ def _pagerank_tpch(spark, sf):
     return pagerank(edges, max_iter=3, scale=10**12).withColumnRenamed("name", "node")
 
 
+def _ppr_tpch(spark, sf):
+    """Personalized PageRank (ops/graph_algs.pagerank with ``seeds``):
+    teleport + dangling mass concentrated on the 5 region nodes of the
+    TPC-H entity graph — rank becomes proximity to the seed set, the
+    GraphRAG retrieval ranker. Same integer fixed-point contract as
+    pagerank_tpch: 3 fixed iterations, bit-identical under any
+    partitioning, the unrolled-SQL oracle replays it exactly."""
+    from kgspark.ops.graph_algs import pagerank
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    s, r = _t(spark, sf, "supplier"), _t(spark, sf, "region")
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(c.select(F.col("c_name").alias("src"), F.col("c_mktsegment").alias("dst")))
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey)
+            .select(F.col("s_name").alias("src"), F.col("n_name").alias("dst"))
+        )
+        .unionByName(
+            n.join(r, n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+    )
+    seeds = r.select(F.col("r_name").alias("name"))
+    return pagerank(edges, max_iter=3, scale=10**12, seeds=seeds).withColumnRenamed(
+        "name", "node"
+    )
+
+
+def _ppr_sql(iters: int = 3, scale: int = 10**12, d_pct: int = 85) -> str:
+    parts = [
+        f"""
+WITH edges AS MATERIALIZED (
+  SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT c_name, c_mktsegment FROM customer
+  UNION ALL SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS MATERIALIZED (
+  SELECT name, name IN (SELECT r_name FROM region) AS sd
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes WHERE sd),
+r0 AS (SELECT name, sd,
+              CAST(CASE WHEN sd THEN (SELECT {scale} // ns FROM params) ELSE 0 END
+                   AS BIGINT) AS r
+       FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS name, SUM(r.r // d.deg) AS s
+        FROM edges e JOIN r{p} r ON e.src = r.name JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+dg{i} AS (SELECT COALESCE(SUM(r.r), 0) AS m
+         FROM r{p} r LEFT JOIN deg d ON r.name = d.src WHERE d.src IS NULL),
+r{i} AS (SELECT nd.name, nd.sd,
+        CAST(CASE WHEN nd.sd
+              THEN (SELECT ({100 - d_pct} * {scale}) // (100 * ns) FROM params)
+              ELSE 0 END
+        + ({d_pct} * (COALESCE(c.s, 0)
+            + CASE WHEN nd.sd
+               THEN (SELECT m FROM dg{i}) // (SELECT ns FROM params)
+               ELSE 0 END)) // 100
+        AS BIGINT) AS r
+       FROM nodes nd LEFT JOIN c{i} c ON nd.name = c.name)"""
+        )
+    parts.append(f"\nSELECT name AS node, r AS rank_units FROM r{iters}")
+    return "".join(parts)
+
+
+_PPR_TPCH_SQL = _ppr_sql()
+
+
 def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_pct: int = 85) -> str:
     parts = [
         f"""
@@ -3513,7 +3589,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     set-ops/cube/date) whose only code is pyspark.sql.functions
         #     calls in this file — no kgspark module behind them, so their
         #     r01-green + the builtin test suite carries them; re-front in
-        #     r04 ---
+        #     r04. ppr_tpch later pushed percentile_stats (also a builtin
+        #     demo) to position 50, just past the window — same carry ---
         "kcore_docs": _kcore_docs,
         "label_propagation_docs": _label_propagation_docs,
         "random_walks_docs": _random_walks_docs,
@@ -3523,6 +3600,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distance_docs": _landmark_distance_docs,
         "lp_eval_kg": _lp_eval_kg,
         "bm25_docs": _bm25_docs,
+        "ppr_tpch": _ppr_tpch,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -3713,6 +3791,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_distance_docs": _LANDMARK_DISTANCE_SQL,
         "lp_eval_kg": _LP_EVAL_SQL,
         "bm25_docs": _BM25_DOCS_SQL,
+        "ppr_tpch": _PPR_TPCH_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

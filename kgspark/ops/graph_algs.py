@@ -43,26 +43,55 @@ def pagerank(
     max_iter: int = 10,
     tol: float | None = 1e-6,
     scale: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (name, rank). With ``scale`` set, returns
     (name, rank_units) as bigint fixed-point (deterministic integer mode,
     ``damping`` must then be a percentage-expressible value like 0.85) and
     runs exactly ``max_iter`` iterations (no convergence action, so the
-    plan is identical everywhere)."""
+    plan is identical everywhere).
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport vector (and
+    dangling-mass redistribution) concentrates uniformly on the seed set
+    instead of all nodes — rank becomes proximity to the seeds, the
+    GraphRAG retrieval ranker (order a question's expanded subgraph by
+    relevance to its detected entities, not by global importance). Both
+    cases run ONE code path: classic PageRank is PPR with seeds = every
+    node, so the uniform default costs nothing and the integer mode's
+    bit-exactness contract carries over to PPR unchanged."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("name"))
         .union(e.select(F.col("dst").alias("name")))
         .distinct()
-        .localCheckpoint()
     )
+    if seeds is not None:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("name"))
+            .distinct()
+            .join(nodes, "name", "left_semi")
+            .withColumn("_seed", F.lit(True))
+        )
+        nodes = (
+            nodes.join(sd, "name", "left")
+            .withColumn("_seed", F.coalesce("_seed", F.lit(False)))
+            .localCheckpoint()
+        )
+        ns = nodes.filter("_seed").count()
+        if ns == 0:
+            raise ValueError("no seed appears in the graph")
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(True)).localCheckpoint()
+        ns = nodes.count()
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
 
     if scale is not None:
-        return _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale)
+        return _pagerank_int(e, nodes, outdeg, ns, damping, max_iter, scale)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.select(
+        "name", F.when(F.col("_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank")
+    )
     for _ in range(max_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("name", "src"), "src")
@@ -84,9 +113,12 @@ def pagerank(
             .select(
                 "name",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.when(F.col("_seed"), F.lit((1.0 - damping) / ns)).otherwise(F.lit(0.0))
                     + F.lit(damping)
-                    * (F.coalesce("s", F.lit(0.0)) + F.col("_dangling") / F.lit(float(n)))
+                    * (
+                        F.coalesce("s", F.lit(0.0))
+                        + F.when(F.col("_seed"), F.col("_dangling") / F.lit(float(ns))).otherwise(F.lit(0.0))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -106,10 +138,18 @@ def pagerank(
     return ranks
 
 
-def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
+def _pagerank_int(e, nodes, outdeg, ns, damping, max_iter, scale):
+    # ns = size of the teleport set: all nodes (classic) or the seed set
+    # (personalized); the teleport base and the dangling redistribution
+    # land only on `_seed` rows — identical arithmetic in both cases
     d_pct = int(round(damping * 100))
-    base = f"(({100 - d_pct}::bigint * {scale}) div (100 * {n}))"
-    ranks = nodes.selectExpr("name", f"({scale} div {n})::bigint AS r")
+    base = (
+        f"(CASE WHEN _seed THEN ({100 - d_pct}::bigint * {scale}) div (100 * {ns})"
+        " ELSE 0 END)"
+    )
+    ranks = nodes.selectExpr(
+        "name", "_seed", f"(CASE WHEN _seed THEN {scale} div {ns} ELSE 0 END)::bigint AS r"
+    )
     for _ in range(max_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("name", "src"), "src")
@@ -129,12 +169,14 @@ def _pagerank_int(e, nodes, outdeg, n, damping, max_iter, scale):
             .crossJoin(F.broadcast(dangling))
             .selectExpr(
                 "name",
-                f"({base} + ({d_pct} * (coalesce(s, 0) + (_dangling div {n}))) div 100"
+                "_seed",
+                f"({base} + ({d_pct} * (coalesce(s, 0)"
+                f" + (CASE WHEN _seed THEN _dangling div {ns} ELSE 0 END))) div 100"
                 ")::bigint AS r",
             )
             .localCheckpoint()
         )
-    return ranks.withColumnRenamed("r", "rank_units")
+    return ranks.select("name", F.col("r").alias("rank_units"))
 
 
 def kcore(

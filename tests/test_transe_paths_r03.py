@@ -332,3 +332,80 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_rank(self._docs(spark), [])
+
+
+class TestPersonalizedPageRank:
+    def _edges(self, spark):
+        # star: hub h -> a,b; chain c -> d (disconnected from the hub side)
+        return spark.createDataFrame(
+            [("h", "a"), ("h", "b"), ("a", "h"), ("c", "d")],
+            "src string, dst string",
+        )
+
+    def test_unreachable_nodes_get_zero(self, spark):
+        from kgspark.ops.graph_algs import pagerank
+
+        seeds = spark.createDataFrame([("h",)], "name string")
+        r = {
+            row.name: row.rank_units
+            for row in pagerank(
+                self._edges(spark), max_iter=3, scale=10**12, seeds=seeds
+            ).collect()
+        }
+        # c and d are unreachable from seed h -> rank exactly 0 (c) or only
+        # via d's own teleport share, which is 0 for non-seeds
+        assert r["c"] == 0 and r["d"] == 0
+        # a and b are symmetric; everyone on the seed side holds mass
+        assert r["a"] == r["b"] > 0 and r["h"] > 0
+
+    def test_seeds_all_nodes_equals_classic(self, spark):
+        from kgspark.ops.graph_algs import pagerank
+
+        e = self._edges(spark)
+        allnodes = e.selectExpr("src AS name").union(e.selectExpr("dst")).distinct()
+        classic = sorted(
+            map(tuple, pagerank(e, max_iter=3, scale=10**12).collect())
+        )
+        ppr_all = sorted(
+            map(
+                tuple,
+                pagerank(e, max_iter=3, scale=10**12, seeds=allnodes).collect(),
+            )
+        )
+        assert classic == ppr_all
+
+    def test_unknown_seed_raises(self, spark):
+        from kgspark.ops.graph_algs import pagerank
+
+        seeds = spark.createDataFrame([("zzz",)], "name string")
+        with pytest.raises(ValueError, match="seed"):
+            pagerank(self._edges(spark), max_iter=2, scale=10**12, seeds=seeds)
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.graph_algs import pagerank
+
+        e = self._edges(spark)
+        seeds = spark.createDataFrame([("h",), ("c",)], "name string")
+        a = sorted(map(tuple, pagerank(e, max_iter=3, scale=10**12, seeds=seeds).collect()))
+        b = sorted(
+            map(
+                tuple,
+                pagerank(
+                    e.repartition(7), max_iter=3, scale=10**12, seeds=seeds
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_float_mode_seeds(self, spark):
+        from kgspark.ops.graph_algs import pagerank
+
+        seeds = spark.createDataFrame([("h",)], "name string")
+        r = {
+            row.name: row.rank
+            for row in pagerank(
+                self._edges(spark), max_iter=5, tol=None, seeds=seeds
+            ).collect()
+        }
+        assert r["c"] == 0.0 and r["d"] == 0.0
+        assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved on the seed side
