@@ -232,26 +232,31 @@ def transe_train(
             F.transform("dn", lambda x: _fdiv(x * F.lit(step), scale)).alias("gn"),
         )
         # role contributions: d(loss)/d(e_s) = d(loss)/d(r_r) = gp - gn;
-        # d/d(e_o) = -gp; d/d(e_o') = +gn
+        # d/d(e_o) = -gp; d/d(e_o') = +gn. Entity and relation gradients
+        # aggregate SEPARATELY — a cross-kind union would coerce the id
+        # column (entity ids are often bigint hashes, relation ids strings;
+        # the coercion crashes under ANSI casts — found driving
+        # scripts/train_embeddings.py over a save_graph output)
         gdiff = F.zip_with("gp", "gn", lambda a, b: a - b)
-        contrib = (
-            active.select(F.lit("e").alias("kind"), F.col("s").alias("id"), gdiff.alias("g"))
+        contrib_e = (
+            active.select(F.col("s").alias("id"), gdiff.alias("g"))
             .unionAll(
                 active.select(
-                    F.lit("e"), F.col("o"), F.transform("gp", lambda x: -x).alias("g")
+                    F.col("o"), F.transform("gp", lambda x: -x).alias("g")
                 )
             )
-            .unionAll(active.select(F.lit("e"), F.col("oneg"), F.col("gn")))
-            .unionAll(active.select(F.lit("r"), F.col("r"), gdiff))
+            .unionAll(active.select(F.col("oneg"), F.col("gn")))
         )
-        grads = (
-            contrib.select("kind", "id", F.posexplode("g").alias("d", "gv"))
-            .groupBy("kind", "id", "d")
-            .agg(F.sum("gv").alias("gv"))
-        ).localCheckpoint()
+        contrib_r = active.select(F.col("r").alias("id"), gdiff.alias("g"))
 
-        def _apply(emb: DataFrame, kind: str) -> DataFrame:
-            g = grads.filter(F.col("kind") == kind).drop("kind")
+        def _grads(contrib: DataFrame) -> DataFrame:
+            return (
+                contrib.select("id", F.posexplode("g").alias("d", "gv"))
+                .groupBy("id", "d")
+                .agg(F.sum("gv").alias("gv"))
+            ).localCheckpoint()
+
+        def _apply(emb: DataFrame, g: DataFrame) -> DataFrame:
             upd = (
                 emb.select("id", F.posexplode("vec").alias("d", "v"))
                 .join(g, ["id", "d"], "left")
@@ -266,8 +271,8 @@ def transe_train(
             )
             return packed.localCheckpoint()
 
-        ent_emb = _apply(ent_emb, "e")
-        rel_emb = _apply(rel_emb, "r")
+        ent_emb = _apply(ent_emb, _grads(contrib_e))
+        rel_emb = _apply(rel_emb, _grads(contrib_r))
     return ent_emb, rel_emb
 
 
