@@ -2275,6 +2275,90 @@ d{t} AS (SELECT landmark, node, min(dist) AS dist FROM (
 _LANDMARK_DISTANCE_SQL = _landmark_sql()
 
 
+def _node2vec_docs(spark, sf):
+    """node2vec biased walks (ops/graph_algs.node2vec_walks): 3-hop
+    second-order walks with return p=4.0 / in-out q=0.5 over a
+    symmetrized synthetic doc graph. The cumulative-milli-weight draw is
+    pure integer arithmetic over a salted md5, so the DuckDB oracle
+    replays every biased hop — including the triangle test — hop for
+    hop."""
+    from kgspark.ops.graph_algs import node2vec_walks
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 211).alias("u")).distinct()
+    raw = d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 211).alias("y")).unionAll(
+        d.select(F.col("u"), (F.col("u") * 13 + 5) % 211)
+    )
+    sym = raw.unionAll(raw.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    return node2vec_walks(
+        sym, walk_length=3, num_walks=1, p_milli=4000, q_milli=500, src="x", dst="y"
+    )
+
+
+def _node2vec_sql(
+    steps: int = 3, p_milli: int = 4000, q_milli: int = 500, salt: str = "n2v-v1"
+) -> str:
+    digits = "0123456789abcdef"
+
+    def expansion(h: str) -> str:
+        return " + ".join(
+            f"CAST(strpos('{digits}', substr({h}, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+
+    w_ret = (1000 * 1000) // p_milli
+    w_com = 1000
+    w_out = (1000 * 1000) // q_milli
+    parts = [
+        f"""
+WITH ns AS (SELECT DISTINCT doc_id % 211 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 211 AS y FROM ns
+  UNION ALL SELECT u, (u * 13 + 5) % 211 FROM ns
+),
+sym AS (SELECT x, y FROM raw UNION ALL SELECT y, x FROM raw),
+e AS MATERIALIZED (SELECT DISTINCT x AS cur, y AS nxt FROM sym WHERE x <> y),
+nbr AS (SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY nxt) AS rnk FROM e),
+degs AS (SELECT cur, count(*) AS deg FROM e GROUP BY cur),
+s0 AS (SELECT CAST(cur AS VARCHAR) || '#0' AS walk_id, cur FROM degs),
+h1 AS (SELECT walk_id, cur, substr(md5(walk_id || '|1|{salt}'), 1, 15) AS h FROM s0),
+f1 AS (SELECT f.walk_id, f.cur AS prev, n.nxt AS cur
+       FROM h1 f JOIN degs d ON d.cur = f.cur
+       JOIN nbr n ON n.cur = f.cur AND n.rnk = ({expansion('f.h')}) % d.deg + 1)"""
+    ]
+    for t in range(2, steps + 1):
+        p = t - 1
+        parts.append(
+            f""",
+cd{t} AS (
+  SELECT f.walk_id, f.prev, f.cur, n.nxt AS x,
+         CASE WHEN n.nxt = f.prev THEN {w_ret}
+              WHEN tri.cur IS NOT NULL THEN {w_com}
+              ELSE {w_out} END AS wt
+  FROM f{p} f
+  JOIN e n ON n.cur = f.cur
+  LEFT JOIN e tri ON tri.cur = f.prev AND tri.nxt = n.nxt
+),
+sc{t} AS (SELECT walk_id, cur, x, wt,
+                 CAST(sum(wt) OVER (PARTITION BY walk_id ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+                 CAST(sum(wt) OVER (PARTITION BY walk_id) AS BIGINT) AS tot,
+                 substr(md5(walk_id || '|{t}|{salt}'), 1, 15) AS h
+          FROM cd{t}),
+f{t} AS (SELECT walk_id, cur AS prev, x AS cur FROM sc{t}
+        WHERE ({expansion('h')}) % tot < cumw
+          AND ({expansion('h')}) % tot >= cumw - wt)"""
+        )
+    sel = ["SELECT walk_id, 0 AS step, cur AS node FROM s0"]
+    sel.append("SELECT walk_id, 1, cur FROM f1")
+    for t in range(2, steps + 1):
+        sel.append(f"SELECT walk_id, {t}, cur FROM f{t}")
+    parts.append("\n" + "\nUNION ALL ".join(sel))
+    return "".join(parts)
+
+
+_NODE2VEC_SQL = _node2vec_sql()
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3589,8 +3673,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     set-ops/cube/date) whose only code is pyspark.sql.functions
         #     calls in this file — no kgspark module behind them, so their
         #     r01-green + the builtin test suite carries them; re-front in
-        #     r04. ppr_tpch later pushed percentile_stats (also a builtin
-        #     demo) to position 50, just past the window — same carry ---
+        #     r04. ppr_tpch and node2vec_docs later pushed percentile_stats
+        #     and range_band_join (both registry-local builtin demos) just
+        #     past the window — same carry, same r04 re-front ---
         "kcore_docs": _kcore_docs,
         "label_propagation_docs": _label_propagation_docs,
         "random_walks_docs": _random_walks_docs,
@@ -3601,6 +3686,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_eval_kg": _lp_eval_kg,
         "bm25_docs": _bm25_docs,
         "ppr_tpch": _ppr_tpch,
+        "node2vec_docs": _node2vec_docs,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -3792,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_eval_kg": _LP_EVAL_SQL,
         "bm25_docs": _BM25_DOCS_SQL,
         "ppr_tpch": _PPR_TPCH_SQL,
+        "node2vec_docs": _NODE2VEC_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

@@ -500,3 +500,125 @@ def landmark_distances(
         if until_stable and frontier.isEmpty():
             break
     return dist.select("landmark", "node", F.col("dist").cast("long").alias("dist"))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    num_walks: int = 1,
+    p_milli: int = 1000,
+    q_milli: int = 1000,
+    salt: str = "n2v-v1",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """node2vec-style biased random walks: ``(walk_id, step, node)`` rows,
+    ``num_walks`` walks of up to ``walk_length`` steps from every node
+    with out-edges. p/q are the return/in-out parameters in fixed-point
+    millis (1000/1000 = unbiased; p>1000 discourages backtracking,
+    q<1000 pushes outward/DFS-like, q>1000 keeps walks local/BFS-like).
+
+    Second-order bias per Grover & Leskovec: from ``cur`` with
+    predecessor ``prev``, candidate ``x`` weighs 1/p if x == prev, 1 if
+    x is also a neighbor of prev (triangle step), 1/q otherwise —
+    integer milli-weights, so the cumulative-weight draw
+    ``pmod(md5(walk_id|t|salt), total)`` lands in exactly one
+    candidate's [cum-w, cum) interval and the whole corpus is
+    rerun/partitioning-stable and engine-replayable (the random_walks /
+    cap_per_group determinism contract; never rand()). The first hop is
+    the uniform rank draw (no predecessor yet), identical to
+    ``random_walks`` step 1.
+
+    Plan per hop: frontier x neighbors equi-join on cur (fan-out deg —
+    inherent to node2vec, every candidate's relation to prev must be
+    examined), a left join against the neighbor table on (prev, x) for
+    the triangle test, ONE window over (walk_id) rows for cumulative +
+    total weight, then the interval filter. Window groups are deg-sized
+    per resident walk — bounded by max out-degree, not corpus size; at
+    web scale cap hub degrees upstream (per-host caps / sampling) as for
+    any node2vec implementation. Lineage cut per hop.
+    """
+    e = edges.select(F.col(src).alias("cur"), F.col(dst).alias("nxt")).filter(
+        F.col(src) != F.col(dst)
+    ).distinct()
+    wrank = Window.partitionBy("cur").orderBy("nxt")
+    nbr = e.withColumn("rank", F.row_number().over(wrank)).localCheckpoint()
+    degs = nbr.groupBy("cur").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    w_ret = (1000 * 1000) // p_milli
+    w_com = 1000
+    w_out = (1000 * 1000) // q_milli
+
+    def draw(t: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("walk_id"), F.lit(str(t)), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("rep")
+    start = (
+        degs.select("cur", reps)
+        .select(
+            F.concat_ws(
+                "#", F.col("cur").cast("string"), F.col("rep").cast("string")
+            ).alias("walk_id"),
+            "cur",
+        )
+        .localCheckpoint()
+    )
+    walks = [start.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    # hop 1: uniform rank draw (no predecessor)
+    frontier = (
+        start.join(degs, "cur")
+        .select("walk_id", "cur", (F.pmod(draw(1), F.col("deg")) + 1).alias("rank"))
+        .join(nbr, ["cur", "rank"])
+        .select("walk_id", F.col("cur").alias("prev"), F.col("nxt").alias("cur"))
+        .localCheckpoint()
+    )
+    walks.append(frontier.select("walk_id", F.lit(1).alias("step"), F.col("cur").alias("node")))
+    for t in range(2, walk_length + 1):
+        cands = frontier.join(nbr.select("cur", F.col("nxt").alias("x")), "cur")
+        tri = nbr.select(
+            F.col("cur").alias("prev"), F.col("nxt").alias("x"), F.lit(True).alias("_tri")
+        )
+        cands = cands.join(tri, ["prev", "x"], "left").select(
+            "walk_id",
+            "prev",
+            "cur",
+            "x",
+            F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+            .when(F.coalesce("_tri", F.lit(False)), F.lit(w_com))
+            .otherwise(F.lit(w_out))
+            .alias("wt"),
+        )
+        wcum = (
+            Window.partitionBy("walk_id")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("walk_id")
+        scored = cands.select(
+            "walk_id",
+            "cur",
+            "x",
+            "wt",
+            F.sum("wt").over(wcum).alias("cumw"),
+            F.sum("wt").over(wtot).alias("tot"),
+        )
+        frontier = (
+            scored.withColumn("dv", F.pmod(draw(t), F.col("tot")))
+            .filter((F.col("dv") < F.col("cumw")) & (F.col("dv") >= F.col("cumw") - F.col("wt")))
+            .select("walk_id", F.col("cur").alias("prev"), F.col("x").alias("cur"))
+            .localCheckpoint()
+        )
+        walks.append(
+            frontier.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    res = walks[0]
+    for wdf in walks[1:]:
+        res = res.unionAll(wdf)
+    return res

@@ -184,3 +184,79 @@ def test_bpe_encode_order_exact_under_repartition(spark):
     a = bpe_encode(d, seg).collect()[0]["tokens"]
     b = bpe_encode(d.repartition(11), seg, broadcast_vocab=False).collect()[0]["tokens"]
     assert a == b
+
+
+class TestNode2VecWalks:
+    """node2vec biased walks (ops/graph_algs.node2vec_walks)."""
+
+    def _sym_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        raw = [(i, (i * 3 + 1) % 11) for i in range(11)] + [
+            (i, (i * 5 + 2) % 11) for i in range(11)
+        ]
+        raw = raw + [(b, a) for a, b in raw]
+        return spark.createDataFrame(raw, "src int, dst int")
+
+    def _walks_by_id(self, rows):
+        from collections import defaultdict
+
+        seq = defaultdict(dict)
+        for r in rows:
+            seq[r.walk_id][r.step] = r.node
+        return seq
+
+    def test_walks_follow_edges(self, spark):
+        from kgspark.ops.graph_algs import node2vec_walks
+
+        e = self._sym_edges(spark)
+        adj = {(r.src, r.dst) for r in e.collect() if r.src != r.dst}
+        rows = node2vec_walks(e, walk_length=3, num_walks=2).collect()
+        for wid, d in self._walks_by_id(rows).items():
+            for t in range(1, max(d) + 1):
+                if t in d:
+                    assert (d[t - 1], d[t]) in adj
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.graph_algs import node2vec_walks
+
+        e = self._sym_edges(spark)
+        a = sorted(
+            map(
+                tuple,
+                node2vec_walks(e, walk_length=3, num_walks=2, q_milli=500).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                node2vec_walks(
+                    e.repartition(7), walk_length=3, num_walks=2, q_milli=500
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_high_p_discourages_backtracking(self, spark):
+        from kgspark.ops.graph_algs import node2vec_walks
+
+        e = self._sym_edges(spark)
+
+        def backtracks(pm):
+            rows = node2vec_walks(e, walk_length=4, num_walks=3, p_milli=pm).collect()
+            n = 0
+            for wid, d in self._walks_by_id(rows).items():
+                for t in range(2, max(d) + 1):
+                    if t in d and t - 2 in d and d[t] == d[t - 2]:
+                        n += 1
+            return n
+
+        assert backtracks(8000) < backtracks(125)
+
+    def test_salt_redraws(self, spark):
+        from kgspark.ops.graph_algs import node2vec_walks
+
+        e = self._sym_edges(spark)
+        a = sorted(map(tuple, node2vec_walks(e, walk_length=3, salt="s1").collect()))
+        b = sorted(map(tuple, node2vec_walks(e, walk_length=3, salt="s2").collect()))
+        assert a != b
