@@ -2359,6 +2359,32 @@ f{t} AS (SELECT walk_id, cur AS prev, x AS cur FROM sc{t}
 _NODE2VEC_SQL = _node2vec_sql()
 
 
+def _harmonic_docs(spark, sf):
+    """Landmark-sampled harmonic centrality (ops/graph_algs.
+    harmonic_centrality): exact-integer floor(scale/dist) terms summed
+    per node over the verified landmark-BFS table — one extra
+    map-side-combinable aggregate, oracle replays the BFS rounds plus
+    the fold."""
+    from kgspark.ops.graph_algs import harmonic_centrality
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y")).unionAll(
+        d.filter(F.col("u") < 100).select(F.col("u"), (F.col("u") + 1) % 401)
+    )
+    lms = d.filter(F.col("u").isin(0, 7, 13)).select(F.col("u").alias("landmark"))
+    return harmonic_centrality(raw, lms, max_hops=3, src="x", dst="y")
+
+
+_HARMONIC_DOCS_SQL = (
+    _landmark_sql().replace(
+        "\nSELECT landmark, node, CAST(dist AS BIGINT) AS dist FROM d3",
+        """,
+hc AS (SELECT node, 1000000 // dist AS h FROM d3 WHERE dist > 0)
+SELECT node, CAST(sum(h) AS BIGINT) AS centrality_units FROM hc GROUP BY node""",
+    )
+)
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3675,7 +3701,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     r01-green + the builtin test suite carries them; re-front in
         #     r04. ppr_tpch and node2vec_docs later pushed percentile_stats
         #     and range_band_join (both registry-local builtin demos) just
-        #     past the window — same carry, same r04 re-front ---
+        #     past the window — same carry, same r04 re-front.
+        #     harmonic_centrality_docs (new operator, needs its first driver
+        #     row) then pushed window_analytics — also a registry-local
+        #     builtin demo (row_number/lag/ROWS-frame sum) — the same way ---
         "kcore_docs": _kcore_docs,
         "label_propagation_docs": _label_propagation_docs,
         "random_walks_docs": _random_walks_docs,
@@ -3687,6 +3716,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": _bm25_docs,
         "ppr_tpch": _ppr_tpch,
         "node2vec_docs": _node2vec_docs,
+        "harmonic_centrality_docs": _harmonic_docs,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -3879,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs": _BM25_DOCS_SQL,
         "ppr_tpch": _PPR_TPCH_SQL,
         "node2vec_docs": _NODE2VEC_SQL,
+        "harmonic_centrality_docs": _HARMONIC_DOCS_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

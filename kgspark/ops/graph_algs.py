@@ -622,3 +622,37 @@ def node2vec_walks(
     for wdf in walks[1:]:
         res = res.unionAll(wdf)
     return res
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark-sampled harmonic centrality: for every node reached by at
+    least one landmark within ``max_hops``, ``centrality_units`` =
+    sum over landmarks of floor(scale / d(landmark, node)) (d > 0; the
+    node's own landmark term is skipped, matching the standard
+    definition's d(v,v) exclusion). With landmarks = all nodes this IS
+    exact truncated harmonic centrality; with a sampled landmark set it
+    is the standard unbiased-up-to-normalization estimator — multiply by
+    n/|landmarks| driver-side if the absolute value matters (ranking,
+    the usual use, needs no rescale).
+
+    Exact-integer per-term floor + bigint sum -> partitioning-invariant
+    and engine-replayable (rides entirely on landmark_distances, adding
+    one map-side-combinable aggregate on the node key).
+    """
+    d = landmark_distances(
+        edges, landmarks, max_hops, src=src, dst=dst, directed=directed
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .select("node", F.expr(f"{scale} div dist").alias("h"))
+        .groupBy("node")
+        .agg(F.sum("h").cast("long").alias("centrality_units"))
+    )

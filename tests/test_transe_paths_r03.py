@@ -409,3 +409,32 @@ class TestPersonalizedPageRank:
         }
         assert r["c"] == 0.0 and r["d"] == 0.0
         assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved on the seed side
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_exact(self, spark):
+        from kgspark.ops.graph_algs import harmonic_centrality
+
+        # path 0-1-2 with both endpoints as landmarks:
+        # h(0) = 1e6//1 (from 2? no: d(2,0)=2 -> 1e6//2) + skip own landmark
+        e = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+        lm = spark.createDataFrame([(0,), (2,)], "landmark int")
+        got = {
+            r.node: r.centrality_units
+            for r in harmonic_centrality(e, lm, max_hops=3).collect()
+        }
+        # node 0: d from lm2 = 2 -> 500000; node 1: 1e6 + 1e6; node 2: 500000
+        assert got == {0: 500_000, 1: 2_000_000, 2: 500_000}
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.graph_algs import harmonic_centrality
+
+        e = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 13) for i in range(13)], "src int, dst int"
+        )
+        lm = spark.createDataFrame([(0,), (5,)], "landmark int")
+        a = sorted(map(tuple, harmonic_centrality(e, lm, max_hops=4).collect()))
+        b = sorted(
+            map(tuple, harmonic_centrality(e.repartition(5), lm, max_hops=4).collect())
+        )
+        assert a == b
