@@ -2385,6 +2385,63 @@ SELECT node, CAST(sum(h) AS BIGINT) AS centrality_units FROM hc GROUP BY node"""
 )
 
 
+def _link_scores_docs(spark, sf):
+    """Neighborhood link-prediction heuristics (ops/graph_algs.
+    link_prediction_scores): exact-integer common-neighbor / resource-
+    allocation / Jaccard scores for every non-adjacent pair with a shared
+    neighbor — the classic baselines next to transe_train_kg/lp_eval_kg.
+    The oracle replays the wedge join, RA floor-div fold, existing-edge
+    anti-join, and Jaccard floor-div bit for bit."""
+    from kgspark.ops.graph_algs import link_prediction_scores
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y")).unionAll(
+        d.select(F.col("u"), (F.col("u") + 1) % 401)
+    )
+    return link_prediction_scores(raw, "x", "y").select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("cn").cast("long").alias("cn"),
+        "ra_units",
+        F.col("jacc_units").cast("long").alias("jacc_units"),
+    )
+
+
+_LINK_SCORES_SQL = """
+WITH nodes AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM nodes
+  UNION ALL SELECT u, (u + 1) % 401 FROM nodes
+),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+cen AS (
+  SELECT adj.z, deg.d AS dz, adj.n FROM (
+    SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e
+  ) adj JOIN deg ON deg.n = adj.z
+),
+ps AS (
+  SELECT s1.n AS x, s2.n AS y, count(*) AS cn,
+         sum(1000000 // s1.dz) AS ra_units
+  FROM cen s1 JOIN cen s2 ON s1.z = s2.z AND s1.n < s2.n
+  GROUP BY s1.n, s2.n
+),
+op AS (
+  SELECT * FROM ps WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = ps.x AND e.b = ps.y
+  )
+)
+SELECT CAST(op.x AS BIGINT) AS x, CAST(op.y AS BIGINT) AS y,
+       CAST(op.cn AS BIGINT) AS cn, CAST(op.ra_units AS BIGINT) AS ra_units,
+       CAST((1000000 * op.cn) // (dx.d + dy.d - op.cn) AS BIGINT) AS jacc_units
+FROM op JOIN deg dx ON dx.n = op.x JOIN deg dy ON dy.n = op.y
+"""
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3702,9 +3759,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     r04. ppr_tpch and node2vec_docs later pushed percentile_stats
         #     and range_band_join (both registry-local builtin demos) just
         #     past the window — same carry, same r04 re-front.
-        #     harmonic_centrality_docs (new operator, needs its first driver
-        #     row) then pushed window_analytics — also a registry-local
-        #     builtin demo (row_number/lag/ROWS-frame sum) — the same way ---
+        #     harmonic_centrality_docs and link_scores_docs (new operators,
+        #     each needing its first driver row) then pushed
+        #     window_analytics and semi_anti_customers — both registry-local
+        #     builtin demos (row_number/lag/ROWS-frame sum; left-semi/anti
+        #     joins) — the same way ---
         "kcore_docs": _kcore_docs,
         "label_propagation_docs": _label_propagation_docs,
         "random_walks_docs": _random_walks_docs,
@@ -3717,6 +3776,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_tpch": _ppr_tpch,
         "node2vec_docs": _node2vec_docs,
         "harmonic_centrality_docs": _harmonic_docs,
+        "link_scores_docs": _link_scores_docs,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -3910,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_tpch": _PPR_TPCH_SQL,
         "node2vec_docs": _NODE2VEC_SQL,
         "harmonic_centrality_docs": _HARMONIC_DOCS_SQL,
+        "link_scores_docs": _LINK_SCORES_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

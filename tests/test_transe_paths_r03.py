@@ -438,3 +438,61 @@ class TestHarmonicCentrality:
             map(tuple, harmonic_centrality(e.repartition(5), lm, max_hops=4).collect())
         )
         assert a == b
+
+
+class TestLinkPredictionScores:
+    def test_cycle4_hand_computed(self, spark):
+        from kgspark.ops.graph_algs import link_prediction_scores
+
+        # C4: 1-2-3-4-1. Non-adjacent pairs (1,3) and (2,4), each with two
+        # degree-2 common neighbors: cn=2, ra=2*500000, jacc=1e6*2//2.
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+        )
+        got = {
+            (r.x, r.y): (r.cn, r.ra_units, r.jacc_units)
+            for r in link_prediction_scores(e).collect()
+        }
+        assert got == {
+            (1, 3): (2, 1_000_000, 1_000_000),
+            (2, 4): (2, 1_000_000, 1_000_000),
+        }
+
+    def test_star_plus_edge_existing_pairs_excluded(self, spark):
+        from kgspark.ops.graph_algs import link_prediction_scores
+
+        # hub 0 — {1..5}, plus 1-2. Candidates = the 10 leaf pairs minus
+        # the existing (1,2); wedges through leaf centers 1 and 2 produce
+        # only already-adjacent pairs (0,1)/(0,2), also excluded.
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)] + [(1, 2)], "src int, dst int"
+        )
+        rows = link_prediction_scores(e).collect()
+        got = {(r.x, r.y): (r.cn, r.ra_units, r.jacc_units) for r in rows}
+        assert len(got) == 9 and (1, 2) not in got
+        assert got[(3, 4)] == (1, 200_000, 1_000_000)  # deg 1+1, cn 1
+        assert got[(1, 3)] == (1, 200_000, 500_000)  # deg 2+1, cn 1
+
+    def test_hub_cap_and_audit(self, spark):
+        from kgspark.ops.graph_algs import link_prediction_scores, lp_center_audit
+
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)] + [(1, 2)], "src int, dst int"
+        )
+        assert link_prediction_scores(e, max_center_degree=4).count() == 0
+        a = lp_center_audit(e, max_center_degree=4).collect()[0]
+        assert (a.centers_skipped, a.centers_kept, a.wedge_rows_avoided) == (1, 5, 10)
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.graph_algs import link_prediction_scores
+
+        e = spark.createDataFrame(
+            [(i, (i * 5 + 2) % 17) for i in range(17)]
+            + [(i, (i * 3 + 1) % 17) for i in range(17)],
+            "src int, dst int",
+        )
+        a = sorted(map(tuple, link_prediction_scores(e).collect()))
+        b = sorted(
+            map(tuple, link_prediction_scores(e.repartition(7)).collect())
+        )
+        assert a == b and len(a) > 0
