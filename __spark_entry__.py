@@ -2442,6 +2442,60 @@ FROM op JOIN deg dx ON dx.n = op.x JOIN deg dy ON dy.n = op.y
 """
 
 
+def _clustering_coeff_docs(spark, sf):
+    """Local clustering coefficient (ops/graph_algs.clustering_coefficient):
+    exact-integer floor(scale*2*tri/(deg*(deg-1))) riding on the verified
+    degree-ordered triangle counter — same synthetic 401-node graph as
+    triangle_count_docs, oracle recounts triangles per corner and replays
+    the floor-div."""
+    from kgspark.ops.graph_algs import clustering_coefficient
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 401).alias("u")).distinct()
+    raw = (
+        d.select(F.col("u").alias("x"), ((F.col("u") * 7 + 3) % 401).alias("y"))
+        .unionAll(d.select(F.col("u"), (F.col("u") * 13 + 5) % 401))
+        .unionAll(d.select(F.col("u"), (F.col("u") + 1) % 401))
+    )
+    return clustering_coefficient(raw, "x", "y").select(
+        F.col("node").cast("long").alias("node"),
+        "triangles",
+        F.col("deg").cast("long").alias("deg"),
+        "cc_units",
+    )
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH nodes AS (SELECT DISTINCT doc_id % 401 AS u FROM documents),
+raw AS (
+  SELECT u AS x, (u * 7 + 3) % 401 AS y FROM nodes
+  UNION ALL SELECT u, (u * 13 + 5) % 401 FROM nodes
+  UNION ALL SELECT u, (u + 1) % 401 FROM nodes
+),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT n, count(*) AS c FROM (
+    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY n
+)
+SELECT CAST(deg.n AS BIGINT) AS node,
+       CAST(coalesce(p.c, 0) AS BIGINT) AS triangles,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN (1000000 * 2 * coalesce(p.c, 0)) // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc_units
+FROM deg LEFT JOIN pern p ON p.n = deg.n
+"""
+
+
 def _repeated_spans_docs(spark, sf):
     """Span-level duplicate-text detection (ops/curation.repeated_spans):
     maximal merged token intervals participating in corpus-repeated
@@ -3759,11 +3813,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     r04. ppr_tpch and node2vec_docs later pushed percentile_stats
         #     and range_band_join (both registry-local builtin demos) just
         #     past the window — same carry, same r04 re-front.
-        #     harmonic_centrality_docs and link_scores_docs (new operators,
-        #     each needing its first driver row) then pushed
-        #     window_analytics and semi_anti_customers — both registry-local
-        #     builtin demos (row_number/lag/ROWS-frame sum; left-semi/anti
-        #     joins) — the same way ---
+        #     harmonic_centrality_docs, link_scores_docs, and
+        #     clustering_coeff_docs (new operators, each needing its first
+        #     driver row) then pushed window_analytics, semi_anti_customers,
+        #     and q5_region_volume — all registry-local builtin demos
+        #     (row_number/lag/ROWS-frame sum; left-semi/anti joins; TPC-H
+        #     Q5-style multi-join) — the same way ---
         "kcore_docs": _kcore_docs,
         "label_propagation_docs": _label_propagation_docs,
         "random_walks_docs": _random_walks_docs,
@@ -3777,6 +3832,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_docs": _node2vec_docs,
         "harmonic_centrality_docs": _harmonic_docs,
         "link_scores_docs": _link_scores_docs,
+        "clustering_coeff_docs": _clustering_coeff_docs,
         # --- r01-only greens: re-cover this round ---
         "p5_contains_filter": _p5_contains_filter,
         "p8_json_cast_filter": _p8_json_cast_filter,
@@ -3971,6 +4027,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_docs": _NODE2VEC_SQL,
         "harmonic_centrality_docs": _HARMONIC_DOCS_SQL,
         "link_scores_docs": _LINK_SCORES_SQL,
+        "clustering_coeff_docs": _CLUSTERING_COEFF_SQL,
         "repeated_spans_docs": _REPEATED_SPANS_SQL,
         "unigram_logprob_docs": _UNIGRAM_LOGPROB_SQL,
         "host_stats_docs": _HOST_STATS_SQL,

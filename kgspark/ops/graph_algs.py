@@ -774,3 +774,46 @@ def lp_center_audit(
         .cast("long")
         .alias("wedge_rows_avoided"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Local clustering coefficient per node, exact-integer:
+    ``cc_units = floor(scale * 2 * triangles / (deg * (deg - 1)))`` for
+    every node with degree >= 2, 0 for degree-1 nodes. Rides on
+    :func:`triangle_count` (degree-ordered node-iterator — per-pivot
+    fan-out O(sqrt(m)), skew-safe) plus the degree aggregate; the join
+    back is a shuffle hash-join on the node id. Floor-div keeps the
+    contract bigint-exact, partitioning-invariant, and SQL-replayable.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(e, "a", "b")
+    return tri.join(deg, "node").select(
+        "node",
+        "triangles",
+        "deg",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(f"({scale} * 2 * triangles) div (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_units"),
+    )

@@ -496,3 +496,33 @@ class TestLinkPredictionScores:
             map(tuple, link_prediction_scores(e.repartition(7)).collect())
         )
         assert a == b and len(a) > 0
+
+
+class TestClusteringCoefficient:
+    def test_k4_and_pendant(self, spark):
+        from kgspark.ops.graph_algs import clustering_coefficient
+
+        # K4 on {0..3} (every node: 3 triangles, deg 3, cc = 1) plus a
+        # pendant 3-4 (node 4: deg 1 -> cc 0; node 3: deg 4, still 3
+        # triangles -> floor(1e6*6/12) = 500000).
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        e = spark.createDataFrame(k4 + [(3, 4)], "src int, dst int")
+        got = {
+            r.node: (r.triangles, r.deg, r.cc_units)
+            for r in clustering_coefficient(e).collect()
+        }
+        assert got[0] == (3, 3, 1_000_000)
+        assert got[3] == (3, 4, 500_000)
+        assert got[4] == (0, 1, 0)
+
+    def test_partitioning_invariant(self, spark):
+        from kgspark.ops.graph_algs import clustering_coefficient
+
+        e = spark.createDataFrame(
+            [(i, (i * 5 + 2) % 19) for i in range(19)]
+            + [(i, (i + 1) % 19) for i in range(19)],
+            "src int, dst int",
+        )
+        a = sorted(map(tuple, clustering_coefficient(e).collect()))
+        b = sorted(map(tuple, clustering_coefficient(e.repartition(6)).collect()))
+        assert a == b and len(a) == 19
