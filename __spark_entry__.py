@@ -2693,6 +2693,63 @@ FROM (SELECT doc_id, CAST(doc_id % 13 AS BIGINT) AS host_id FROM documents)
 """
 
 
+def _line_dedup_docs(spark, sf):
+    """Cross-document duplicated-line removal (ops/curation.dedup_lines):
+    the C4/RefinedWeb boilerplate-line step, over a deterministic 8-token
+    re-lining of the single-line fixture docs (regexp_replace inserts a
+    newline after every 8th token — the oracle replays the same regex);
+    lines with >=15 trimmed chars appearing verbatim in >=2 distinct docs
+    are deleted from every doc, survivors rejoin in original order."""
+    from kgspark.ops.curation import dedup_lines
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return dedup_lines(d, min_chars=15, min_docs=2)
+
+
+_LINE_DEDUP_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+  FROM docs WHERE text IS NOT NULL
+),
+common AS (
+  SELECT line FROM lines
+  WHERE length(trim(line)) >= 15
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN common c ON l.line = c.line
+  WHERE c.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+),
+removed AS (
+  SELECT l.doc_id, CAST(count(*) AS BIGINT) AS lines_removed
+  FROM lines l JOIN common c ON l.line = c.line
+  GROUP BY l.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.text_deduped, '') END AS text_deduped,
+       CAST(coalesce(m.lines_removed, 0) AS BIGINT) AS lines_removed
+FROM docs d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN removed m ON d.doc_id = m.doc_id
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -3899,6 +3956,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_docs": _host_stats_docs,
         "gopher_flags_docs": _gopher_flags_docs,
         "cap_per_host_docs": _cap_per_host_docs,
+        "line_dedup_docs": _line_dedup_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4033,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats_docs": _HOST_STATS_SQL,
         "gopher_flags_docs": _GOPHER_FLAGS_SQL,
         "cap_per_host_docs": _CAP_PER_HOST_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -536,6 +536,66 @@ def trim_repeated_spans(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-line removal — the C4 / RefinedWeb
+    curation step document-level near-dup cannot express: a line (newline-
+    delimited) whose trimmed length is at least ``min_chars`` and that
+    appears verbatim in at least ``min_docs`` DISTINCT documents is
+    boilerplate (cookie banners, nav bars, licence footers) and is deleted
+    from every document it appears in; short lines are never eligible.
+    Returns ``(id, text_deduped, lines_removed)`` with the surviving lines
+    rejoined by ``\\n`` in original order (``''`` when nothing survives;
+    NULL text passes through as NULL with 0 removed).
+
+    Plan — the corpus text itself never shuffles:
+    pass 1: posexplode lines -> one groupBy(line) distinct-doc count
+    (partial distinct collapses repeats map-side) -> the common-line set;
+    pass 2: the exploded lines semi-join that set (AQE broadcast — real
+    corpora have boilerplate lines ≪ lines) and only the HIT positions
+    aggregate per document (tiny arrays), joining back to the intact docs
+    where a pure JVM indexed-filter + array_join rebuilds the text. Two
+    corpus scans, shuffle bytes proportional to the removed lines only —
+    the same rewrite shape as ``trim_repeated_spans``. The whole operator
+    is ``pyspark.sql.functions``; the DuckDB oracle in
+    ``__spark_entry__.py`` replays it exactly.
+    """
+    lines = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    common = (
+        lines.filter(F.length(F.trim(F.col("line"))) >= min_chars)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    # common holds only >=min_chars lines, so equality implies eligibility
+    hits = lines.join(common, "line", "left_semi").select(id_col, "pos")
+    per_doc = hits.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_rm"),
+        F.count(F.lit(1)).cast("long").alias("_n_rm"),
+    )
+    parts = F.split(F.col(text_col), "\n", -1)
+    indexed = F.transform(parts, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(indexed, lambda x: ~F.array_contains(rm, x["i"]))
+    return docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.array_join(F.transform(kept, lambda x: x["t"]), "\n"),
+        ).alias("text_deduped"),
+        F.coalesce(F.col("_n_rm"), F.lit(0)).cast("long").alias("lines_removed"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
