@@ -2750,6 +2750,61 @@ LEFT JOIN removed m ON d.doc_id = m.doc_id
 """
 
 
+def _blocklist_docs(spark, sf):
+    """Domain blocklist gate (ops/curation.blocklist_filter): subdomain-
+    suffix matching over deterministic synthetic hosts (the host_stats
+    pattern) — blocklisted registrable domains block every subdomain,
+    plus one exact-subdomain entry and one no-match entry; the oracle
+    replays the suffix expansion and the membership join."""
+    from kgspark.ops.curation import blocklist_filter
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("site3.example.com",),
+            ("site7.example.com",),
+            ("sub1.site2.example.com",),
+            ("badhost.net",),
+        ],
+        "domain string",
+    )
+    out = blocklist_filter(d, bl)
+    return out.select("doc_id", "host", F.col("is_blocked").cast("int").alias("is_blocked"))
+
+
+_BLOCKLIST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'sub' || CAST(doc_id % 5 AS VARCHAR) || '.site'
+               || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+),
+sfx AS (
+  SELECT doc_id, array_to_string(ls[i:len(ls)], '.') AS suffix
+  FROM (SELECT doc_id, string_split(host, '.') AS ls,
+               unnest(generate_series(1, len(string_split(host, '.')))) AS i
+        FROM d)
+),
+blocked AS (
+  SELECT DISTINCT doc_id FROM sfx
+  WHERE suffix IN ('site3.example.com', 'site7.example.com',
+                   'sub1.site2.example.com', 'badhost.net')
+)
+SELECT d.doc_id, d.host,
+       CAST(b.doc_id IS NOT NULL AS INT) AS is_blocked
+FROM d LEFT JOIN blocked b USING (doc_id)
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -3957,6 +4012,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags_docs": _gopher_flags_docs,
         "cap_per_host_docs": _cap_per_host_docs,
         "line_dedup_docs": _line_dedup_docs,
+        "blocklist_docs": _blocklist_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4092,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_flags_docs": _GOPHER_FLAGS_SQL,
         "cap_per_host_docs": _CAP_PER_HOST_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        "blocklist_docs": _BLOCKLIST_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

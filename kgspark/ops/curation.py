@@ -536,6 +536,59 @@ def trim_repeated_spans(
     )
 
 
+def host_suffixes(col: Column) -> Column:
+    """Every dot-suffix of a hostname as one generated array column:
+    ``a.b.example.com`` -> ``[a.b.example.com, b.example.com, example.com,
+    com]`` — the join keys for registrable-domain blocklists, where an
+    entry must match the host itself OR any parent domain. Pure JVM
+    expressions (split / sequence / slice / array_join); the array is
+    label-count bounded (hostnames have <= ~10 labels), so the explode
+    fan-out is a small constant.
+    """
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain blocklist filtering with subdomain semantics — the crawl-
+    policy gate: a row is blocked when its host, lowercased, equals a
+    blocklist domain or is a subdomain of one (``evil.com`` blocks
+    ``a.b.evil.com``). Returns the input plus ``is_blocked`` (auditable;
+    callers filter) — never a silent drop.
+
+    Plan — blocked-ness is a property of the host alone, so the corpus
+    never shuffles: distinct hosts (host-cardinality, map-side
+    combinable) -> bounded suffix explode -> left-semi join the blocklist
+    (AQE broadcast: blocklists are dimension-scale) -> the blocked-host
+    set joins back to the intact rows, again broadcast-sized. Blocklist
+    entries are bare lowercase domains (no ``*.`` wildcards — subdomain
+    matching is the semantics already).
+    """
+    hosts = df.select(F.lower(F.col(host_col)).alias("_h")).distinct()
+    sfx = hosts.select("_h", F.explode(host_suffixes(F.col("_h"))).alias("_s"))
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("_s")).distinct()
+    blocked = (
+        sfx.join(bl, "_s", "left_semi")
+        .select("_h")
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    return (
+        df.join(blocked, F.lower(F.col(host_col)) == F.col("_h"), "left")
+        .withColumn("is_blocked", F.coalesce(F.col("_blocked"), F.lit(False)))
+        .drop("_h", "_blocked")
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     text_col: str = "text",
