@@ -2805,6 +2805,44 @@ FROM d LEFT JOIN blocked b USING (doc_id)
 """
 
 
+def _winnow_docs(spark, sf):
+    """Winnowing fingerprints (ops/textstats.winnow_fingerprints, the
+    Schleimer-et-al MOSS scheme): per-window minimum of word-5-gram md5
+    hashes with w=4, leftmost tie rule — the oracle replays gram hashing
+    and the window min via the fixed-width hash||pos string trick."""
+    from kgspark.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf, "documents"), k=5, w=4, hash="md5"
+    )
+
+
+_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i : i + 4], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+),
+win AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h || ':' || lpad(CAST(pos AS VARCHAR), 10, '0'))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       CAST(substr(sel, 34) AS BIGINT) AS pos,
+       substr(sel, 1, 32) AS fp
+FROM win
+WHERE pos <= greatest(n - 3, 1)
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -4013,6 +4051,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_host_docs": _cap_per_host_docs,
         "line_dedup_docs": _line_dedup_docs,
         "blocklist_docs": _blocklist_docs,
+        "winnow_docs": _winnow_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4149,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_host_docs": _CAP_PER_HOST_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "blocklist_docs": _BLOCKLIST_SQL,
+        "winnow_docs": _WINNOW_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -470,3 +470,64 @@ def bm25_rank(
         "score_micro",
         (F.col("score_micro") / 1e6).alias("score"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    hash: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS scheme) over word ``k``-gram hashes: slide a window of
+    ``w`` consecutive gram hashes and keep each window's minimum, so any
+    two documents sharing a run of at least ``k + w - 1`` tokens are
+    GUARANTEED to share a fingerprint — the local sub-document dedup /
+    plagiarism key that full-doc md5 and document-level minhash both
+    miss, at ~2/(w+1) the density of storing every gram. Ties break to
+    the smallest position (leftmost); documents with fewer than ``w``
+    grams keep their single global minimum; sub-``k``-token documents
+    emit nothing. Returns ``(id, pos, fp)`` distinct, 1-based gram
+    positions.
+
+    Plan: the JVM n-gram hash array (``curation.ngram_hashes`` — split /
+    sequence / slice, no Python) posexplodes and ONE window per document
+    does everything: a frame ``[current, w-1 following]`` struct-min
+    selects each window's (hash, pos) winner and a partition count caps
+    the window starts; distinct collapses runs selected by overlapping
+    windows (the winnowing density guarantee). No join, no second
+    shuffle — fingerprint selection rides the same per-doc sort the
+    explode already needs. ``hash="md5"`` (fixed-width hex, string
+    struct-min == lexicographic min) is replayed exactly by the DuckDB
+    oracle; ``hash="xxhash64"`` is the 8-byte production variant.
+    """
+    from pyspark.sql import Window
+
+    from kgspark.ops.curation import ngram_hashes
+
+    grams = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(ngram_hashes(F.col(text_col), n=k, hash=hash)).alias(
+                "_p0", "_h"
+            ),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_h")
+    )
+    part = Window.partitionBy(id_col)
+    frame = part.orderBy("pos").rowsBetween(0, w - 1)
+    sel = F.min(F.struct(F.col("_h").alias("h"), F.col("pos").alias("p"))).over(frame)
+    return (
+        grams.withColumn("_n", F.count(F.lit(1)).over(part))
+        .withColumn("_sel", sel)
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - F.lit(w - 1), F.lit(1)))
+        .select(
+            id_col,
+            F.col("_sel.p").cast("long").alias("pos"),
+            F.col("_sel.h").alias("fp"),
+        )
+        .distinct()
+    )
