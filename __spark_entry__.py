@@ -2843,6 +2843,52 @@ WHERE pos <= greatest(n - 3, 1)
 """
 
 
+def _winnow_containment_docs(spark, sf):
+    """Containment near-dup pairs (ops/dedup.winnow_containment_pairs):
+    shared winnowed fingerprints over the smaller side's total — the
+    Broder containment axis (doc-inside-doc) that resemblance minhash
+    misses; exact-integer ppm, oracle replays winnow + bucket pairing +
+    the integer-division score."""
+    from kgspark.ops.dedup import winnow_containment_pairs
+
+    return winnow_containment_pairs(_t(spark, sf, "documents"))
+
+
+_WINNOW_CONTAIN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i : i + 4], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+),
+win AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h || ':' || lpad(CAST(pos AS VARCHAR), 10, '0'))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+  FROM win WHERE pos <= greatest(n - 3, 1)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id),
+bucket AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 256),
+pairs AS (
+  SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM fps f1 JOIN fps f2 USING (fp) JOIN bucket USING (fp)
+  WHERE f1.doc_id < f2.doc_id GROUP BY 1, 2
+)
+SELECT a, b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       shared * 1000000 // least(sa.n_fp, sb.n_fp) AS containment_ppm
+FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE shared * 1000000 // least(sa.n_fp, sb.n_fp) >= 500000
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -4052,6 +4098,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": _line_dedup_docs,
         "blocklist_docs": _blocklist_docs,
         "winnow_docs": _winnow_docs,
+        "winnow_containment_docs": _winnow_containment_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4189,6 +4236,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "blocklist_docs": _BLOCKLIST_SQL,
         "winnow_docs": _WINNOW_SQL,
+        "winnow_containment_docs": _WINNOW_CONTAIN_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

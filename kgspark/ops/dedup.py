@@ -639,3 +639,76 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return sigs.groupBy("simhash").agg(
         F.min(id_col).alias(id_col), F.count("*").alias("n_dups")
     )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_containment_ppm: int = 500_000,
+    max_bucket_size: int = 256,
+    hash: str = "md5",
+) -> DataFrame:
+    """Containment near-dup pairs over winnowed fingerprints — the Broder
+    CONTAINMENT axis resemblance-based minhash cannot see: a small
+    document wholly embedded in a large one (quoted articles, mirrored
+    pages inside portals) has near-zero Jaccard resemblance but
+    containment ~1. Estimator: |shared winnowed fingerprints| /
+    |fingerprints of the SMALLER side| — winnowing's guarantee (every
+    shared k+w-1-token run shares a fingerprint) makes the shared count
+    track shared text locally, not just globally. Returns
+    ``(a, b, shared, n_a, n_b, containment_ppm)`` for pairs at or above
+    ``min_containment_ppm`` (exact-integer parts-per-million — the
+    repo's fixed-point discipline, no float compare).
+
+    Plan, the ``lsh_candidate_pairs`` shape on fingerprint buckets:
+    winnow (one per-doc window pass) -> distinct (id, fp) -> groupBy(fp)
+    collects the sorted member list with the same 2..``max_bucket_size``
+    boilerplate guard (a fingerprint shared by thousands of docs is
+    template noise and would emit m^2/2 pairs) -> JVM a<b slice-pairing
+    -> groupBy(a, b) count IS the shared-fingerprint count (no distinct
+    needed first: each fp contributes each pair once). Per-doc totals
+    join onto the surviving pair set only — pairs ≪ docs, so AQE
+    broadcasts the pair side against the corpus-scale size table rather
+    than shuffling the corpus.
+    """
+    from kgspark.ops.textstats import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k=k, w=w, hash=hash)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda y: F.struct(F.element_at(ids, i).alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_fp", "n_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_fp", "n_b"), "b")
+        .withColumn(
+            "containment_ppm",
+            F.expr("shared * 1000000L div least(n_a, n_b)"),
+        )
+        .filter(F.col("containment_ppm") >= min_containment_ppm)
+    )
+    return out.select("a", "b", "shared", "n_a", "n_b", "containment_ppm")
