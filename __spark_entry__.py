@@ -2601,7 +2601,7 @@ def _host_stats_docs(spark, sf):
 
 _HOST_STATS_SQL = """
 SELECT lower('Site' || CAST(doc_id % 13 AS VARCHAR) || '.Example.com') AS host,
-       count(*) AS docs, sum(n_chars) AS chars
+       count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents
 GROUP BY 1
 """
@@ -2886,6 +2886,79 @@ SELECT a, b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
        shared * 1000000 // least(sa.n_fp, sb.n_fp) AS containment_ppm
 FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
 WHERE shared * 1000000 // least(sa.n_fp, sb.n_fp) >= 500000
+"""
+
+
+def _span_alignment_docs(spark, sf):
+    """Shared-span forensics (ops/dedup.shared_span_alignment) over the
+    confirmed containment pairs: shared winnowed fingerprints on the
+    same diagonal (pos_b - pos_a) merge into aligned token spans via
+    gaps-and-islands — the oracle replays winnow, the containment
+    pairing, the diagonal join, and the islands window."""
+    from kgspark.ops.dedup import shared_span_alignment, winnow_containment_pairs
+
+    d = _t(spark, sf, "documents")
+    return shared_span_alignment(d, winnow_containment_pairs(d))
+
+
+_SPAN_ALIGN_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i : i + 4], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+),
+win AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h || ':' || lpad(CAST(pos AS VARCHAR), 10, '0'))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM grams
+),
+fpp AS (
+  SELECT DISTINCT doc_id, CAST(substr(sel, 34) AS BIGINT) AS fpos,
+         substr(sel, 1, 32) AS fp
+  FROM win WHERE pos <= greatest(n - 3, 1)
+),
+fpd AS (SELECT DISTINCT doc_id, fp FROM fpp),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fpd GROUP BY doc_id),
+bucket AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) BETWEEN 2 AND 256),
+cand AS (
+  SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM fpd f1 JOIN fpd f2 USING (fp) JOIN bucket USING (fp)
+  WHERE f1.doc_id < f2.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT a, b FROM cand
+  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+  WHERE shared * 1000000 // least(sa.n_fp, sb.n_fp) >= 500000
+),
+hits AS (
+  SELECT s.a, s.b, fa.fpos AS pos_a, fb.fpos - fa.fpos AS diag
+  FROM scored s
+  JOIN fpp fa ON fa.doc_id = s.a
+  JOIN fpp fb ON fb.doc_id = s.b AND fb.fp = fa.fp
+),
+isl AS (
+  SELECT a, b, diag, pos_a,
+         CASE WHEN lag(pos_a) OVER w IS NULL
+                   OR pos_a - lag(pos_a) OVER w > 8 THEN 1 ELSE 0 END AS ni
+  FROM hits
+  WINDOW w AS (PARTITION BY a, b, diag ORDER BY pos_a)
+),
+isl2 AS (
+  SELECT a, b, diag, pos_a,
+         sum(ni) OVER (PARTITION BY a, b, diag ORDER BY pos_a
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT a, b, min(pos_a) AS a_start, max(pos_a) + 4 AS a_end,
+       min(pos_a) + diag AS b_start, max(pos_a) + 4 + diag AS b_end,
+       CAST(count(*) AS BIGINT) AS n_fps
+FROM isl2 GROUP BY a, b, diag, g
 """
 
 
@@ -4099,6 +4172,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": _blocklist_docs,
         "winnow_docs": _winnow_docs,
         "winnow_containment_docs": _winnow_containment_docs,
+        "span_alignment_docs": _span_alignment_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4237,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_docs": _BLOCKLIST_SQL,
         "winnow_docs": _WINNOW_SQL,
         "winnow_containment_docs": _WINNOW_CONTAIN_SQL,
+        "span_alignment_docs": _SPAN_ALIGN_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgspark.ops.textstats import fingerprint
@@ -712,3 +712,79 @@ def winnow_containment_pairs(
         .filter(F.col("containment_ppm") >= min_containment_ppm)
     )
     return out.select("a", "b", "shared", "n_a", "n_b", "containment_ppm")
+
+
+def shared_span_alignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_gap: int | None = None,
+    hash: str = "md5",
+) -> DataFrame:
+    """Locate WHERE the shared text lives for verified near-dup /
+    containment pairs — the forensics step after
+    ``winnow_containment_pairs``: for each (a, b) pair, shared winnowed
+    fingerprints carry a position in BOTH documents, and fingerprints of
+    one contiguous shared region all lie on the same DIAGONAL
+    (``pos_b - pos_a`` constant, the diff/LCS structure). Grouping by
+    (pair, diagonal) and merging consecutive ``pos_a`` runs with gaps at
+    most ``max_gap`` (default ``k + w - 1``: winnowing guarantees a
+    selected fingerprint at least every ``w`` grams inside a shared run,
+    and gram starts k-1 apart can touch) yields aligned token spans:
+    ``(a, b, a_start, a_end, b_start, b_end, n_fps)``, 1-based inclusive
+    token indices, ``b_* = a_* + diagonal``.
+
+    Plan: the corpus-wide fingerprint table is first semi-joined to the
+    pair ids (pairs ≪ corpus — broadcast), so the (fp, id)-keyed joins
+    that attach ``pos_a``/``pos_b`` touch only the docs under
+    investigation; one window per (pair, diagonal) does the
+    gaps-and-islands merge (the ``repeated_spans`` pattern). Everything
+    after winnowing is proportional to the pair set, not the corpus.
+    """
+    from kgspark.ops.textstats import winnow_fingerprints
+
+    if max_gap is None:
+        max_gap = k + w - 1
+    p = pairs.select("a", "b")
+    ids = p.select(F.col("a").alias("_id")).union(p.select("b")).distinct()
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w, hash=hash).join(
+        ids, F.col(id_col) == F.col("_id"), "left_semi"
+    )
+    fa = fps.select(
+        F.col(id_col).alias("a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    fb = fps.select(
+        F.col(id_col).alias("b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    hits = (
+        p.join(fa, "a")
+        .join(fb, ["b", "fp"])
+        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    )
+    win = Window.partitionBy("a", "b", "diag").orderBy("pos_a")
+    prev = F.lag("pos_a").over(win)
+    islands = hits.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos_a") - prev > max_gap), 1).otherwise(0)
+    ).withColumn(
+        "_isl", F.sum("_new").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("a", "b", "diag", "_isl")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + F.lit(k - 1)).alias("a_end"),
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+        )
+        .select(
+            "a",
+            "b",
+            "a_start",
+            "a_end",
+            (F.col("a_start") + F.col("diag")).alias("b_start"),
+            (F.col("a_end") + F.col("diag")).alias("b_end"),
+            "n_fps",
+        )
+    )
