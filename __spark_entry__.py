@@ -2962,6 +2962,56 @@ FROM isl2 GROUP BY a, b, diag, g
 """
 
 
+def _script_profile_docs(spark, sf):
+    """Unicode-script composition (ops/textstats.script_profile) over a
+    deterministic multilingual augmentation of the ASCII fixture docs
+    (doc_id%4 picks a 1000-char Cyrillic/Han/Arabic suffix, flipping
+    dominance for those docs); the oracle replays the augmentation and
+    RE2's identical script classes."""
+    from kgspark.ops.textstats import script_profile
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.repeat(F.lit("м"), 1000))
+            .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit("世"), 1000))
+            .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit("س"), 1000))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(d)
+
+
+_SCRIPT_PROFILE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+                   WHEN 1 THEN repeat('м', 1000)
+                   WHEN 2 THEN repeat('世', 1000)
+                   WHEN 3 THEN repeat('س', 1000)
+                   ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+         CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM d
+)
+SELECT *,
+       CASE WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic) = 0 THEN 'none'
+            WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'latin'
+            WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'cyrillic'
+            WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'han'
+            ELSE 'arabic' END AS dominant_script
+FROM c
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -4173,6 +4223,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": _winnow_docs,
         "winnow_containment_docs": _winnow_containment_docs,
         "span_alignment_docs": _span_alignment_docs,
+        "script_profile_docs": _script_profile_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4312,6 +4363,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": _WINNOW_SQL,
         "winnow_containment_docs": _WINNOW_CONTAIN_SQL,
         "span_alignment_docs": _SPAN_ALIGN_SQL,
+        "script_profile_docs": _SCRIPT_PROFILE_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

@@ -531,3 +531,43 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script composition — the routing signal a
+    multilingual corpus pipeline needs BEFORE word-level language id
+    (``lang_id`` assumes Latin-alphabet marker words; script mix decides
+    which lang-id tier, tokenizer, and normalization a document should
+    even be sent to, and catches mixed-script spam/mojibake). Counts
+    characters in the four highest-volume web scripts plus total chars
+    and a ``dominant_script`` label (deterministic tie order latin >
+    cyrillic > han > arabic; ``none`` when no scripted character
+    occurs). Pure JVM ``regexp_count`` with Unicode script classes — a
+    narrow projection, no shuffle, no Python; the DuckDB oracle replays
+    it with RE2's identical ``\\p{Script}`` classes (both engines
+    verified char-for-char on mixed-script fixtures).
+    """
+    t = F.col(text_col)
+    lat = F.regexp_count(t, F.lit(r"\p{IsLatin}")).cast("long")
+    cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}")).cast("long")
+    han = F.regexp_count(t, F.lit(r"\p{IsHan}")).cast("long")
+    ar = F.regexp_count(t, F.lit(r"\p{IsArabic}")).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        han.alias("n_han"),
+        ar.alias("n_arabic"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    m = F.greatest("n_latin", "n_cyrillic", "n_han", "n_arabic")
+    return out.withColumn(
+        "dominant_script",
+        F.when(m == 0, F.lit("none"))
+        .when(F.col("n_latin") == m, F.lit("latin"))
+        .when(F.col("n_cyrillic") == m, F.lit("cyrillic"))
+        .when(F.col("n_han") == m, F.lit("han"))
+        .otherwise(F.lit("arabic")),
+    )
