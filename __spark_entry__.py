@@ -3012,6 +3012,51 @@ FROM c
 """
 
 
+def _encoding_quality_docs(spark, sf):
+    """Mojibake / encoding-error gate (ops/textstats.encoding_quality):
+    deterministic corruption of the clean fixture docs (doc_id%9==0 gets
+    a dense mojibake suffix, doc_id%9==1 a single benign marker) so both
+    flag branches fire; the oracle replays the corruption, both literal-
+    alternation counts, and the integer ppm."""
+    from kgspark.ops.textstats import encoding_quality
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.repeat(F.lit(" cafÃ© â€™ 25Â°"), 20))
+            .when(F.col("doc_id") % 9 == 1, F.lit(" cafÃ©"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_quality(d)
+
+
+_ENCODING_QUALITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 9
+                   WHEN 0 THEN repeat(' cafÃ© â€™ 25Â°', 20)
+                   WHEN 1 THEN ' cafÃ©'
+                   ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+         CAST(len(regexp_extract_all(text,
+           'Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã¤|Ã¶|Ã¼|â€™|â€œ|â€“|â€”|Â°|Â»|Â«|Â·')) AS BIGINT) AS n_mojibake,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM d
+)
+SELECT doc_id, n_replacement, n_mojibake, n_chars,
+       (n_replacement + n_mojibake) * 1000000 // greatest(n_chars, 1) AS mojibake_ppm,
+       CAST((n_replacement + n_mojibake) * 1000000 // greatest(n_chars, 1) >= 1000 AS INT)
+         AS flag_encoding_bad
+FROM c
+"""
+
+
 def _cc_components_tpch(spark, sf):
     """Connected components over a long-id TPC-H graph (customer -> nation
     -> region chains; components == regions), hash-verified against a
@@ -4224,6 +4269,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_containment_docs": _winnow_containment_docs,
         "span_alignment_docs": _span_alignment_docs,
         "script_profile_docs": _script_profile_docs,
+        "encoding_quality_docs": _encoding_quality_docs,
         # --- green in r02: rotate behind the window ---
         # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
         #  the later r03 deltas to those modules (triangle_count appended to
@@ -4364,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_containment_docs": _WINNOW_CONTAIN_SQL,
         "span_alignment_docs": _SPAN_ALIGN_SQL,
         "script_profile_docs": _SCRIPT_PROFILE_SQL,
+        "encoding_quality_docs": _ENCODING_QUALITY_SQL,
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "minhash_portable_sig": _MINHASH_PORTABLE_SQL,
         "having_agg": _HAVING_SQL,

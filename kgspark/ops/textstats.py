@@ -571,3 +571,49 @@ def script_profile(
         .when(F.col("n_han") == m, F.lit("han"))
         .otherwise(F.lit("arabic")),
     )
+
+
+# classic UTF-8-decoded-as-Latin-1 digraphs (é -> Ã©, ’ -> â€™, ° -> Â°):
+# literal markers, no regex metacharacters — portable as a plain alternation
+MOJIBAKE_MARKERS: list[str] = [
+    "Ã©", "Ã¨", "Ã¡", "Ã³", "Ãº", "Ã±", "Ã¤", "Ã¶", "Ã¼",
+    "â€™", "â€œ", "â€“", "â€”", "Â°", "Â»", "Â«", "Â·",
+]
+
+
+def encoding_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_ppm: int = 1000,
+) -> DataFrame:
+    """Encoding-error detection — the web-crawl quality gate that keeps
+    mojibake out of training corpora: counts U+FFFD replacement
+    characters (lossy transcodes) and the classic UTF-8-misdecoded-as-
+    Latin-1 digraphs (``é`` -> ``Ã©``, ``’`` -> ``â€™``, ``°`` ->
+    ``Â°`` — ``MOJIBAKE_MARKERS``), scores them per million characters
+    (exact-integer ppm, the repo's fixed-point discipline), and flags
+    documents at or above ``flag_ppm``. A handful of hits in a long
+    document is quoting/noise; a high density means the whole document
+    was transcoded wrong and normalization (``unicodenorm``) cannot fix
+    it — drop or re-fetch. Pure JVM string expressions (two
+    regexp_counts over literal alternations), narrow projection, no
+    shuffle; the DuckDB oracle replays it byte-for-byte.
+    """
+    t = F.col(text_col)
+    pat = "|".join(MOJIBAKE_MARKERS)
+    n_rep = F.regexp_count(t, F.lit("�")).cast("long")
+    n_moj = F.regexp_count(t, F.lit(pat)).cast("long")
+    n_chars = F.length(t).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        n_rep.alias("n_replacement"),
+        n_moj.alias("n_mojibake"),
+        n_chars.alias("n_chars"),
+    )
+    ppm = F.expr(
+        "(n_replacement + n_mojibake) * 1000000L div greatest(n_chars, 1L)"
+    )
+    return out.withColumn("mojibake_ppm", ppm).withColumn(
+        "flag_encoding_bad", (F.col("mojibake_ppm") >= flag_ppm).cast("int")
+    )
