@@ -220,6 +220,7 @@ def kcore(
         .localCheckpoint()
     )
     prev_n = None
+    stable = False
     for _ in range(max_iter):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -236,8 +237,19 @@ def kcore(
         if until_stable:
             n = e.count()
             if n == prev_n:
+                stable = True
                 break
             prev_n = n
+    if until_stable and not stable:
+        # peeling still in flight at the iteration cap: the survivor set is
+        # an intermediate peel, NOT the k-core (e.g. a long chain peels one
+        # node per round at k=2) — returning it silently would be wrong
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach fixpoint within max_iter={max_iter} "
+            "peeling rounds; raise max_iter (each round is one degree "
+            "aggregate + two semi-joins) or use until_stable=False for a "
+            "fixed-round intermediate peel"
+        )
     return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -538,6 +550,15 @@ def node2vec_walks(
     web scale cap hub degrees upstream (per-host caps / sampling) as for
     any node2vec implementation. Lineage cut per hop.
     """
+    # milli-params outside [1, 1_000_000] either divide by zero or floor
+    # the integer weight to 0 (a degree-1 backtrack candidate with weight 0
+    # would kill the walk silently via pmod(draw, 0) = NULL)
+    for pname, v in (("p_milli", p_milli), ("q_milli", q_milli)):
+        if not 1 <= v <= 1_000_000:
+            raise ValueError(
+                f"{pname} must be in [1, 1_000_000] (fixed-point millis; "
+                f"1_000_000 = weight floor 1), got {v}"
+            )
     e = edges.select(F.col(src).alias("cur"), F.col(dst).alias("nxt")).filter(
         F.col(src) != F.col(dst)
     ).distinct()

@@ -414,12 +414,33 @@ def bm25_rank(
     totals = perdoc.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_t")
     )  # 1-row broadcast
-    stack_expr = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(q))
-    tf = perdoc.select(
-        id_col,
-        "dl",
-        F.expr(f"stack({len(q)}, {stack_expr}) AS (term, tf)"),
-    ).filter(F.col("tf") > 0)
+    # (term, tf) rows built via the functions API — terms are bound as
+    # literals, never interpolated into SQL text (the apply_merge rule:
+    # a term containing a quote must not be a parse error or an injection)
+    tf = (
+        perdoc.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(q)
+                    ]
+                )
+            ).alias("_kv"),
+        )
+        .select(
+            id_col,
+            "dl",
+            F.col("_kv.term").alias("term"),
+            F.col("_kv.tf").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(totals)).select(
         "term",
@@ -547,9 +568,11 @@ def script_profile(
     occurs). Pure JVM ``regexp_count`` with Unicode script classes — a
     narrow projection, no shuffle, no Python; the DuckDB oracle replays
     it with RE2's identical ``\\p{Script}`` classes (both engines
-    verified char-for-char on mixed-script fixtures).
+    verified char-for-char on mixed-script fixtures). NULL text is
+    treated as empty — counts 0, dominant_script 'none' — not silently
+    routed to the otherwise() branch ('arabic', the pre-fix bug).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     lat = F.regexp_count(t, F.lit(r"\p{IsLatin}")).cast("long")
     cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}")).cast("long")
     han = F.regexp_count(t, F.lit(r"\p{IsHan}")).cast("long")
@@ -598,9 +621,10 @@ def encoding_quality(
     was transcoded wrong and normalization (``unicodenorm``) cannot fix
     it — drop or re-fetch. Pure JVM string expressions (two
     regexp_counts over literal alternations), narrow projection, no
-    shuffle; the DuckDB oracle replays it byte-for-byte.
+    shuffle; the DuckDB oracle replays it byte-for-byte. NULL text is
+    treated as empty (counts 0, flag 0), not a NULL flag.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     pat = "|".join(MOJIBAKE_MARKERS)
     n_rep = F.regexp_count(t, F.lit("�")).cast("long")
     n_moj = F.regexp_count(t, F.lit(pat)).cast("long")

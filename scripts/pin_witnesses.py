@@ -36,6 +36,9 @@ def main() -> None:
     from kgspark.session import get_spark
 
     spark = get_spark("pin-witnesses", cpus=8)
+    # stale pins would fire the FAIL-marker row and inflate the fingerprint
+    # count by 1 — always pin from the unmarked ("unpinned") output
+    E._WITNESS_PINS.clear()
     qs = E.queries()
     print("_WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {")
     for sf in sf_dirs:

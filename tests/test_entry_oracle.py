@@ -85,16 +85,36 @@ def test_no_oracle_queries_carry_passing_witness(spark, name):
 
 
 def test_witness_detects_drift_and_unknown_input(spark):
-    """The witness machinery itself: a wrong pin surfaces FAIL (not pass),
-    and an unpinned input surfaces its fingerprint for pinning."""
+    """The witness machinery itself: a wrong pin surfaces FAIL (not pass)
+    AND perturbs the row count (+1 marker row) so the driver's recorded
+    ``spark_rows`` deviates from the pinned count; a correct pin leaves the
+    count untouched; an unpinned input surfaces its fingerprint for
+    pinning."""
     from pyspark.sql import functions as F
 
     df = spark.range(5).select(F.col("id").alias("doc_id"))
     entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")] = (5, 12345)  # wrong hash
     try:
         out = entrymod._witnessed(df, "__wit_test__", SF_DIR)
-        v = {r["witness"] for r in out.select("witness").distinct().collect()}
+        rows = out.collect()
+        # drift is visible in the hard row-count signal: 5 data rows + 1 marker
+        assert len(rows) == 6
+        v = {r["witness"] for r in rows}
         assert len(v) == 1 and next(iter(v)).startswith("FAIL:want=5,12345;got=5,")
+        marker = [r for r in rows if r["doc_id"] is None]
+        assert len(marker) == 1
+    finally:
+        del entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")]
+    # a CORRECT pin must not perturb the count
+    real = df.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(`doc_id`))")
+    ).first()
+    entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")] = (real[0], real[1])
+    try:
+        out = entrymod._witnessed(df, "__wit_test__", SF_DIR)
+        rows = out.collect()
+        assert len(rows) == 5
+        assert {r["witness"] for r in rows} == {"pass"}
     finally:
         del entrymod._WITNESS_PINS[("__wit_test__", "sf0.01")]
     out = entrymod._witnessed(df, "__wit_test__", "/root/testdata/sf0.42")
