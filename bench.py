@@ -31,6 +31,7 @@ def main() -> None:
 
     from kgspark.session import get_spark
 
+    load_at_start = os.getloadavg()  # co-tenant load BEFORE we add our own
     spark = get_spark("kgspark-bench", cpus=cpus)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -147,6 +148,11 @@ def main() -> None:
     timed("ann_topk", ann)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # host load at measurement time: a shared box under co-tenant load has
+    # inflated EVERY wall-clock number some rounds (identical outputs) —
+    # recording loadavg makes load-noise vs real regression machine-
+    # distinguishable instead of a prose argument (VERDICT r03 #4)
+    la1, la5, la15 = os.getloadavg()
     result = {
         "metric": "kg_construction_bench_total",
         "value": round(sum(timings.values()), 3),
@@ -154,6 +160,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "loadavg_start_1m": round(load_at_start[0], 2),
+        "loadavg_start_5m": round(load_at_start[1], 2),
+        "loadavg_end_1m": round(la1, 2),
+        "loadavg_end_15m": round(la15, 2),
         **extras,
     }
     print(json.dumps(result))

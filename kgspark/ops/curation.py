@@ -276,11 +276,37 @@ def build_training_shards(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     token_counter: str = "ws",
+    gates: dict | None = None,
 ) -> dict:
     """The end-to-end curation deliverable: (doc_id, text) corpus ->
-    language gate -> quality gate -> exact dedup -> MinHash near-dup ->
-    [optional eval decontamination] -> deterministic split ->
-    token-budgeted packing -> parquet shards partitioned by (split, shard).
+    [opt-in gates: blocklist -> encoding -> Gopher] -> language gate ->
+    [opt-in cross-doc line dedup] -> quality gate -> exact dedup ->
+    MinHash near-dup -> [optional eval decontamination] -> deterministic
+    split -> token-budgeted packing -> parquet shards partitioned by
+    (split, shard).
+
+    ``gates`` opts additional verified operators into the chain (r04 —
+    standalone-green gates a real pipeline would compose):
+
+    - ``"blocklist": [domain, ...]`` — drop documents whose url host is a
+      (sub)domain of a blocked domain (``blocklist_filter``; requires a
+      ``url`` column). Host-cardinality join, corpus never shuffles.
+    - ``"encoding_max_ppm": int`` — drop documents at or above that
+      mojibake density (``textstats.encoding_bad_col`` — the exact
+      ``encoding_quality`` verdict as a pure filter expression).
+    - ``"gopher": True`` — keep only documents passing every Gopher rule
+      (``textstats.gopher_flag_cols`` — same expressions as
+      ``gopher_quality_flags``).
+    - ``"line_dedup": True | {min_chars:..., min_docs:...}`` — C4-style
+      cross-document boilerplate-line removal (``dedup_lines``), applied
+      after the cheap predicate gates and BEFORE quality scoring so
+      quality judges the cleaned text. The only gate that rewrites text
+      (and the only one that shuffles — hash-keyed hit positions).
+
+    Predicate gates are plain JVM filter expressions fused into the same
+    single raw-corpus pass as the lang/quality gates — per-gate survivor
+    counts ride ``observe()`` accumulators, zero extra scans; the order
+    is cheapest-first so each stage sees the smallest surviving set.
 
     Pass ``eval_docs`` (a (doc_id, text) benchmark set) to drop documents
     sharing any ``decontam_n``-gram with it (``decontaminate``) — the gate
@@ -321,25 +347,83 @@ def build_training_shards(
     if token_counter not in ("ws", "bpe"):
         raise ValueError(f"token_counter must be 'ws' or 'bpe', got {token_counter!r}")
     count_tokens = token_count_ws if token_counter == "ws" else token_count_bpe
+    gates = dict(gates or {})
+    unknown = set(gates) - {"blocklist", "encoding_max_ppm", "gopher", "line_dedup"}
+    if unknown:
+        raise ValueError(f"unknown gates: {sorted(unknown)}")
+    if "blocklist" in gates and "url" not in docs.columns:
+        raise ValueError("the blocklist gate needs a 'url' column on the corpus")
 
     n = F.count(F.lit(1)).alias("n")
     obs_in, obs_lang, obs_qual = Observation(), Observation(), Observation()
     obs_exact, obs_nd = Observation(), Observation()
+    gate_obs: list[tuple[str, Observation]] = []
 
     d = docs.observe(obs_in, n).filter(F.col("text").isNotNull())
+    if "blocklist" in gates:
+        bl = docs.sparkSession.createDataFrame(
+            [(x,) for x in gates["blocklist"]], "domain string"
+        )
+        d = blocklist_filter(
+            d.withColumn("_host", url_host(F.col("url"))), bl, host_col="_host"
+        )
+        d = d.filter(~F.col("is_blocked")).drop("is_blocked", "_host")
+        ob = Observation()
+        d = d.observe(ob, n)
+        gate_obs.append(("after_blocklist", ob))
+    if "encoding_max_ppm" in gates:
+        from kgspark.ops.textstats import encoding_bad_col
+
+        d = d.filter(~encoding_bad_col(F.col("text"), gates["encoding_max_ppm"]))
+        ob = Observation()
+        d = d.observe(ob, n)
+        gate_obs.append(("after_encoding", ob))
+    if gates.get("gopher"):
+        from kgspark.ops.textstats import gopher_flag_cols
+
+        passed = None
+        for c in gopher_flag_cols(F.col("text")).values():
+            c = F.coalesce(c, F.lit(False))
+            passed = c if passed is None else (passed & c)
+        d = d.filter(passed)
+        ob = Observation()
+        d = d.observe(ob, n)
+        gate_obs.append(("after_gopher", ob))
     if lang is not None:
         d = lang_id(d).filter(F.col("lang_pred") == lang).drop("lang_pred")
     d = d.observe(obs_lang, n)
+    obs_ld = None
+    if "line_dedup" in gates:
+        # the rewrite stage: materialize the gate survivors first (fills
+        # every upstream observation under one controlled action), then
+        # dedup_lines' two scans read that materialization
+        d = d.select("doc_id", "text").localCheckpoint(eager=True)
+        cfg = gates["line_dedup"] if isinstance(gates["line_dedup"], dict) else {}
+        obs_ld = Observation()
+        d = (
+            dedup_lines(d, **cfg)
+            .select("doc_id", F.col("text_deduped").alias("text"), "lines_removed")
+            .observe(
+                obs_ld,
+                n,
+                F.sum("lines_removed").alias("lines_removed"),
+            )
+            .select("doc_id", "text")
+        )
     d = quality_features(d).filter(F.col("quality_score") >= min_quality)
     d = d.select("doc_id", "text").observe(obs_qual, n)
-    # THE raw-corpus pass: materialize the gated survivors; filling the three
+    # THE raw-corpus pass: materialize the gated survivors; filling the
     # gate observations comes free with it
     d = d.localCheckpoint(eager=True)
     stats: dict = {
         "input": int(obs_in.get["n"]),
+        **{k: int(ob.get["n"]) for k, ob in gate_obs},
         "after_lang": int(obs_lang.get["n"]),
         "after_quality": int(obs_qual.get["n"]),
     }
+    if obs_ld is not None:
+        stats["after_line_dedup"] = int(obs_ld.get["n"])
+        stats["lines_removed_total"] = int(obs_ld.get["lines_removed"] or 0)
     keep_exact = exact_dedup(d).select("doc_id")
     # checkpoint again after the exact-dedup semi-join: fills obs_exact under
     # a single controlled execution (minhash's internal partial executions
@@ -606,31 +690,43 @@ def dedup_lines(
     rejoined by ``\\n`` in original order (``''`` when nothing survives;
     NULL text passes through as NULL with 0 removed).
 
-    Plan — the corpus text itself never shuffles:
-    pass 1: posexplode lines -> one groupBy(line) distinct-doc count
-    (partial distinct collapses repeats map-side) -> the common-line set;
-    pass 2: the exploded lines semi-join that set (AQE broadcast — real
-    corpora have boilerplate lines ≪ lines) and only the HIT positions
-    aggregate per document (tiny arrays), joining back to the intact docs
-    where a pure JVM indexed-filter + array_join rebuilds the text. Two
-    corpus scans, shuffle bytes proportional to the removed lines only —
-    the same rewrite shape as ``trim_repeated_spans``. The whole operator
-    is ``pyspark.sql.functions``; the DuckDB oracle in
-    ``__spark_entry__.py`` replays it exactly.
+    Plan — NO raw line text ever shuffles (r04 fix: pass 1 previously
+    aggregated on the line STRING, shuffling distinct (line, doc) pairs —
+    essentially the whole eligible corpus text once; keying both passes on
+    ``xxhash64(line)`` cuts pass-1 shuffle bytes by ~mean-line-length/8,
+    accepting the 64-bit collision odds exactly as C4 does):
+    pass 1: posexplode lines -> one groupBy(xxhash64(line)) distinct-doc
+    count (partial distinct collapses repeats map-side) -> the common-hash
+    set — 8 bytes per key on the wire; pass 2: the exploded line hashes
+    semi-join that set (AQE broadcast — real corpora have boilerplate
+    lines ≪ lines) and only the HIT positions aggregate per document
+    (tiny arrays), joining back to the intact docs where a pure JVM
+    indexed-filter + array_join rebuilds the text. Two corpus scans,
+    shuffle bytes proportional to line COUNT (not text bytes) in pass 1
+    and removed lines in pass 2. The whole operator is
+    ``pyspark.sql.functions``; the DuckDB oracle in ``__spark_entry__.py``
+    replays the semantics on raw lines (identical output short of a
+    64-bit hash collision).
     """
     lines = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64("line").alias("_lh"),
+        F.length(F.trim(F.col("line"))).alias("_ll"),
     )
     common = (
-        lines.filter(F.length(F.trim(F.col("line"))) >= min_chars)
-        .groupBy("line")
+        lines.filter(F.col("_ll") >= min_chars)
+        .groupBy("_lh")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("line")
+        .select("_lh")
     )
-    # common holds only >=min_chars lines, so equality implies eligibility
-    hits = lines.join(common, "line", "left_semi").select(id_col, "pos")
+    # common holds only hashes of >=min_chars lines; a hash hit implies
+    # eligibility (mod the accepted 2^-64 collision odds)
+    hits = lines.join(common, "_lh", "left_semi").select(id_col, "pos")
     per_doc = hits.groupBy(id_col).agg(
         F.collect_list("pos").alias("_rm"),
         F.count(F.lit(1)).cast("long").alias("_n_rm"),

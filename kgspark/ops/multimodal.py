@@ -14,10 +14,11 @@ progressive JPEG decode for real via ``kgspark.ops.jpeg`` (stdlib+numpy
 Huffman + IDCT, T.81 Annex G scan accumulation for SOF2).
 ``media_features`` dispatches by magic bytes into a deterministic
 FEATURE_DIM stats vector (pixel stats for images, duration/rms/zcr/
-histogram for audio). The remaining codec-dependent format (MP4 frame
-decode) stays STUBBED behind NotImplementedError (no codec libs in this
-container); ``fake=True`` keeps the hash-derived stand-in for
-plumbing-only tests and undecodable payloads.
+histogram for audio). MP4 frame decode lives in ``ops.mp4``: REAL for
+Motion-JPEG tracks (sample-table walk + the in-repo JPEG codec); only
+inter-coded codecs (H.264/H.265/AV1/VP9) stay behind NotImplementedError
+(no codec libs in this container). ``fake=True`` keeps the hash-derived
+stand-in for plumbing-only tests and undecodable payloads.
 """
 
 from __future__ import annotations
@@ -423,7 +424,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     [log1p(w), log1p(h), n_channels, per-channel means (4 slots),
     per-channel stds (4 slots), 5-bin luma histogram] — all in [0, ~22],
     deterministic across runs and partitionings. Undecodable formats raise
-    NotImplementedError (MP4 frame decode needs codec libraries this
+    NotImplementedError (MP4 frame decode is ``ops.mp4.decode_mp4_frames``
+    — real for MJPEG tracks; inter-coded codecs need libraries this
     container lacks); ``fake=True`` derives an md5-seeded stand-in vector
     instead, keeping the distributed plumbing exercisable for any payload.
     """

@@ -294,6 +294,40 @@ def unigram_logprob(
     )
 
 
+def gopher_flag_cols(t: Column) -> dict[str, Column]:
+    """The Gopher per-rule predicate Columns over a text Column (NULL text
+    yields NULL flags — callers coalesce to False). Shared by
+    ``gopher_quality_flags`` (the auditable projection) and
+    ``curation.build_training_shards`` (the opt-in gate chain), so the
+    gate filters are by construction the same expressions the verified
+    operator computes — pure JVM, no join, no shuffle."""
+    norm = F.trim(F.regexp_replace(t, r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    n_chars = F.length(F.regexp_replace(norm, " ", ""))
+    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
+    n_ellipsis = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        (
+            F.concat(F.lit(" "), F.lower(norm), F.lit(" ")).contains(f" {w} ")
+        ).cast("int")
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    return {
+        "flag_n_tokens": (n_tokens >= 50) & (n_tokens <= 100_000),
+        "flag_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "flag_hash_ellipsis": (n_hash + n_ellipsis) / F.greatest(n_tokens, F.lit(1)) < 0.1,
+        "flag_ellipsis_lines": n_ell_lines / F.greatest(n_lines, F.lit(1)) < 0.3,
+        "flag_alpha_words": n_alpha_words / F.greatest(n_tokens, F.lit(1)) >= 0.8,
+        "flag_stopwords": stop_hits >= 2,
+    }
+
+
 def gopher_quality_flags(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -314,32 +348,7 @@ def gopher_quality_flags(
     integer/ratio math — the DuckDB oracle replays every flag. Null text
     fails everything (kept in the output with ``gopher_pass = false``).
     """
-    t = F.col(text_col)
-    norm = F.trim(F.regexp_replace(t, r"\s+", " "))
-    toks = F.split(norm, " ")
-    n_tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
-    n_chars = F.length(F.regexp_replace(norm, " ", ""))
-    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
-    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
-    n_ellipsis = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
-    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = sum(
-        (
-            F.concat(F.lit(" "), F.lower(norm), F.lit(" ")).contains(f" {w} ")
-        ).cast("int")
-        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
-    )
-    flags = {
-        "flag_n_tokens": (n_tokens >= 50) & (n_tokens <= 100_000),
-        "flag_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
-        "flag_hash_ellipsis": (n_hash + n_ellipsis) / F.greatest(n_tokens, F.lit(1)) < 0.1,
-        "flag_ellipsis_lines": n_ell_lines / F.greatest(n_lines, F.lit(1)) < 0.3,
-        "flag_alpha_words": n_alpha_words / F.greatest(n_tokens, F.lit(1)) >= 0.8,
-        "flag_stopwords": stop_hits >= 2,
-    }
+    flags = gopher_flag_cols(F.col(text_col))
     out = docs.select(
         F.col(id_col),
         *[F.coalesce(c, F.lit(False)).alias(name) for name, c in flags.items()],
@@ -602,6 +611,23 @@ MOJIBAKE_MARKERS: list[str] = [
     "Ã©", "Ã¨", "Ã¡", "Ã³", "Ãº", "Ã±", "Ã¤", "Ã¶", "Ã¼",
     "â€™", "â€œ", "â€“", "â€”", "Â°", "Â»", "Â«", "Â·",
 ]
+
+
+def encoding_bad_col(t: Column, flag_ppm: int = 1000) -> Column:
+    """Boolean Column: replacement-char + mojibake density of ``t`` is at
+    or above ``flag_ppm`` per million characters — the same verdict as
+    ``encoding_quality``'s ``flag_encoding_bad`` (floor(total*1e6 /
+    max(chars,1)) >= ppm ⟺ total*1e6 >= ppm*max(chars,1) for positive
+    integers, so this form is division-free AND exact). NULL text is
+    clean (False). Used by ``curation.build_training_shards``'s opt-in
+    gate chain — a pure filter expression, no join, no shuffle."""
+    tt = F.coalesce(t, F.lit(""))
+    n_rep = F.regexp_count(tt, F.lit("�")).cast("long")
+    n_moj = F.regexp_count(tt, F.lit("|".join(MOJIBAKE_MARKERS))).cast("long")
+    n_chars = F.length(tt).cast("long")
+    return (n_rep + n_moj) * F.lit(1_000_000).cast("long") >= F.lit(
+        int(flag_ppm)
+    ).cast("long") * F.greatest(n_chars, F.lit(1).cast("long"))
 
 
 def encoding_quality(

@@ -260,3 +260,37 @@ class TestNode2VecWalks:
         a = sorted(map(tuple, node2vec_walks(e, walk_length=3, salt="s1").collect()))
         b = sorted(map(tuple, node2vec_walks(e, walk_length=3, salt="s2").collect()))
         assert a != b
+
+
+def test_bpe_train_local_and_distributed_paths_identical(spark):
+    """r04: the merge loop is driver-local by default (2 Spark jobs total);
+    the distributed loop is the overflow fallback. Both must learn the
+    SAME merges and produce the SAME final segmentation — merges, counts,
+    tie-breaks, and the greedy fold all replicated exactly."""
+    d = _docs(
+        spark,
+        [
+            "ab ab ab abc low low lower lowest",
+            "ab abc abd banana bandana low",
+            "newer newest lower lowest wider widest",
+        ],
+    )
+    wf = word_freqs(d)
+    m_local, seg_local = bpe_train(wf, num_merges=12, min_freq=2)
+    m_dist, seg_dist = bpe_train(wf, num_merges=12, min_freq=2, distributed=True)
+    assert m_local == m_dist
+    sl = {r["word"]: (r["freq"], r["syms"]) for r in seg_local.collect()}
+    sd = {r["word"]: (r["freq"], r["syms"]) for r in seg_dist.collect()}
+    assert sl == sd
+
+
+def test_bpe_train_vocab_overflow_falls_back_to_distributed(spark):
+    d = _docs(spark, ["ab ab ab abc", "ab abc abd"])
+    wf = word_freqs(d)
+    # max_local_vocab=1 forces the fallback; result must be unchanged
+    m_fb, seg_fb = bpe_train(wf, num_merges=3, max_local_vocab=1)
+    m_loc, seg_loc = bpe_train(wf, num_merges=3)
+    assert m_fb == m_loc
+    assert {r["word"]: r["syms"] for r in seg_fb.collect()} == {
+        r["word"]: r["syms"] for r in seg_loc.collect()
+    }

@@ -1516,6 +1516,115 @@ def test_mp4_meta_spark_stage(spark):
     assert got[2]["brand"] is None and got[3]["duration_ms"] is None
 
 
+def _mjpeg_frame(i: int, h: int = 24, w: int = 16) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x * (3 + i) + y * 5) % 256).astype(np.uint8)
+    g = ((x * 7 + y * (2 + i)) % 256).astype(np.uint8)
+    b = ((x + y + 31 * i) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_mp4_mjpeg_frame_decode_roundtrip():
+    """r04: MP4 frame decode is REAL for Motion-JPEG tracks — the fixture
+    encoder lays repo-encoded JPEG samples behind genuine
+    stts/stsz/stsc/stco tables (two chunks, exercising the stsc run walk)
+    and decode_mp4_frames walks them back to pixels within JPEG
+    DCT-rounding error. Inter-coded fourccs refuse with
+    NotImplementedError even when their sample tables are complete."""
+    from kgspark.ops import mp4
+
+    frames = [_mjpeg_frame(i) for i in range(5)]
+    ones = np.ones(64, dtype=np.int64)
+    raw = mp4.encode_mjpeg_mp4(frames, fps=4, luma_q=ones, chroma_q=ones)
+
+    meta = mp4.parse_mp4_meta(raw)
+    assert meta["duration_ms"] == 5 * 250
+    video = next(t for t in meta["tracks"] if t["kind"] == "video")
+    assert (video["codec"], video["width"], video["height"]) == ("jpeg", 16, 24)
+
+    codec, samples = mp4.extract_video_samples(raw)
+    assert codec == "jpeg" and len(samples) == 5
+    assert [t for t, _ in samples] == [0, 250, 500, 750, 1000]
+
+    decoded = mp4.decode_mp4_frames(raw)
+    assert len(decoded) == 5
+    for (ts, px), orig in zip(decoded, frames):
+        assert px.shape == orig.shape
+        assert int(np.abs(px.astype(int) - orig.astype(int)).max()) <= 1
+
+    # single-sample container exercises the one-chunk stsc path
+    one = mp4.decode_mp4_frames(
+        mp4.encode_mjpeg_mp4(frames[:1], fps=2, luma_q=ones, chroma_q=ones)
+    )
+    assert len(one) == 1 and one[0][0] == 0
+
+    # real tables + inter-coded fourcc: the codec gate must refuse
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4.decode_mp4_frames(
+            mp4.encode_mjpeg_mp4(frames[:2], codec="avc1", luma_q=ones, chroma_q=ones)
+        )
+    with pytest.raises(ValueError):
+        mp4.encode_mjpeg_mp4([])
+
+
+def test_mp4_sample_extraction_untrusted_bytes_policy():
+    """Truncation/garbage over the sample-table walk raises only
+    ValueError/NotImplementedError (never a stdlib exception), and a
+    crafted stsz sample count beyond the sanity bound is rejected."""
+    from kgspark.ops import mp4
+
+    ones = np.ones(64, dtype=np.int64)
+    raw = mp4.encode_mjpeg_mp4(
+        [_mjpeg_frame(i) for i in range(3)], luma_q=ones, chroma_q=ones
+    )
+    for cut in range(4, len(raw), 11):
+        try:
+            mp4.extract_video_samples(raw[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        garbage = raw[:8] + bytes(
+            rng.integers(0, 256, size=int(rng.integers(1, 300))).astype(np.uint8)
+        )
+        try:
+            mp4.extract_video_samples(garbage)
+        except (ValueError, NotImplementedError):
+            pass
+    # bomb guard: patch stsz's sample count to 2^31
+    idx = raw.index(b"stsz")
+    bombed = bytearray(raw)
+    bombed[idx + 12 : idx + 16] = (2**31).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="sanity bound"):
+        mp4.extract_video_samples(bytes(bombed))
+
+
+def test_mp4_frames_spark_stage(spark):
+    """mp4_frames decodes MJPEG videos distributed (one row per frame);
+    inter-coded/malformed/NULL payloads contribute zero rows instead of
+    failing the Arrow batch."""
+    from pyspark.sql import Row
+
+    from kgspark.ops import mp4
+
+    ones = np.ones(64, dtype=np.int64)
+    vid = mp4.encode_mjpeg_mp4(
+        [_mjpeg_frame(i) for i in range(3)], fps=5, luma_q=ones, chroma_q=ones
+    )
+    rows = [
+        Row(media_id=0, payload=bytearray(vid)),
+        Row(media_id=1, payload=bytearray(mp4.encode_mp4_stub(codec="avc1"))),
+        Row(media_id=2, payload=bytearray(b"junk-not-a-video")),
+        Row(media_id=3, payload=None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = mp4.mp4_frames(media).collect()
+    assert {r["media_id"] for r in got} == {0}
+    assert sorted(r["ts_ms"] for r in got) == [0, 200, 400]
+    assert all((r["height"], r["width"]) == (24, 16) for r in got)
+    assert all(0.0 < r["mean_px"] < 255.0 for r in got)
+
+
 def test_audiohash_invariance_and_discrimination():
     """Spectral-presence audio hash: amplitude rescaling, 8-bit
     requantization, and mild noise flip ZERO bits on tonal content, while
@@ -1829,3 +1938,90 @@ def test_minhash_dedup_incremental_nperm_mismatch_guard(spark):
     store = dedup.minhash_signatures(docs, n_perm=32)
     with pytest.raises(ValueError, match="32-perm"):
         dedup.minhash_dedup_incremental(docs, store, n_perm=64)
+
+
+def test_build_training_shards_gate_chain(spark, tmp_path):
+    """r04 opt-in gates: blocklist -> encoding -> gopher -> line dedup chain
+    into the shard builder with per-gate observe() stats; counts are
+    monotone non-increasing along the chain and each gate demonstrably
+    fires on a planted victim."""
+    from kgspark.ops.curation import build_training_shards
+
+    good = (
+        "the quick brown document is here to be kept because it talks at "
+        "length about spark joins and shuffles and wide transformations "
+        "with the usual words that have all of the stopwords we need " * 2
+    )
+    boiler = "this shared cookie banner line is long enough to be eligible"
+    rows = []
+    for i in range(60):
+        rows.append((i, f"https://ok{i % 7}.example.com/p/{i}", good + f"\n{boiler}\nunique tail {i}"))
+    rows.append((100, "https://spam.evil.com/x", good))            # blocklisted
+    rows.append((101, "https://ok0.example.com/m", ("cafÃ© â€™ " * 60)))  # mojibake
+    rows.append((102, "https://ok1.example.com/g", "#### ... ####"))     # gopher fail
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    out = str(tmp_path / "gated")
+    stats = build_training_shards(
+        spark,
+        docs,
+        out,
+        budget=512,
+        n_shards=2,
+        gates={
+            "blocklist": ["evil.com"],
+            "encoding_max_ppm": 1000,
+            "gopher": True,
+            "line_dedup": {"min_chars": 15, "min_docs": 2},
+        },
+    )
+    # each planted victim is removed by its gate
+    assert stats["after_blocklist"] == stats["input"] - 1
+    assert stats["after_encoding"] == stats["after_blocklist"] - 1
+    assert stats["after_gopher"] == stats["after_encoding"] - 1
+    # line dedup drops no documents but removes the planted boilerplate line
+    assert stats["after_line_dedup"] == stats["after_lang"]
+    assert stats["lines_removed_total"] >= 60
+    # monotone non-increasing along the whole chain
+    chain = [
+        stats["input"], stats["after_blocklist"], stats["after_encoding"],
+        stats["after_gopher"], stats["after_lang"], stats["after_line_dedup"],
+        stats["after_quality"], stats["after_exact_dedup"], stats["after_neardup"],
+    ]
+    assert chain == sorted(chain, reverse=True)
+    # the boilerplate line is gone from the written text-bearing corpus
+    written = spark.read.parquet(f"{out}/shards")
+    assert written.count() > 0
+
+    # unknown gate key and missing url column raise clearly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown gates"):
+        build_training_shards(spark, docs, out, gates={"nope": 1})
+    with _pytest.raises(ValueError, match="url"):
+        build_training_shards(
+            spark, docs.select("doc_id", "text"), out, gates={"blocklist": ["x.com"]}
+        )
+
+
+def test_encoding_bad_col_matches_encoding_quality_flag(spark):
+    """The gate expression and the auditable operator must agree verdict-
+    for-verdict, including at the exact ppm boundary."""
+    from kgspark.ops.textstats import encoding_bad_col, encoding_quality
+
+    rows = [
+        (1, None),
+        (2, "clean text with no issues at all"),
+        (3, "cafÃ© " * 100),
+        (4, "�" + "a" * 999),      # exactly 1000 ppm -> flagged
+        (5, "�" + "a" * 1000),     # just under 1000 ppm -> clean
+        (6, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    op = {r["doc_id"]: r["flag_encoding_bad"] for r in encoding_quality(d).collect()}
+    gate = {
+        r["doc_id"]: r["g"]
+        for r in d.select("doc_id", encoding_bad_col(F.col("text")).alias("g")).collect()
+    }
+    assert {k: bool(v) for k, v in op.items()} == gate
+    assert gate[4] is True and gate[5] is False
