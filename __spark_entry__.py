@@ -74,6 +74,8 @@ _WITNESS_PINS: dict[tuple[str, str], tuple[int, int]] = {
     ("phash_neardup_media", "sf0.01"): (20, -1268688127524016894),
     ("mp4_container_meta", "sf0.001"): (24, -2088920988574997881),
     ("mp4_container_meta", "sf0.01"): (24, -2088920988574997881),
+    ("mp4_frame_decode", "sf0.001"): (33, 1260706137447144654),
+    ("mp4_frame_decode", "sf0.01"): (33, 1260706137447144654),
     ("audiohash_neardup", "sf0.001"): (20, 5478906334128815275),
     ("audiohash_neardup", "sf0.01"): (20, 5478906334128815275),
 }
@@ -2137,6 +2139,147 @@ e{t} AS MATERIALIZED (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
 _TRANSE_TRAIN_SQL = _transe_sql()
 
 
+def _kmeans_sql(
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    salt: str = "kmeans-init-v1",
+    src: str = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+    final: str = "SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM afin GROUP BY cluster",
+) -> str:
+    """DuckDB replay of ops/kmeans.kmeans_assign — the Lloyd loop unrolled
+    as one CTE per (assign, update) round, bit-for-bit against the Spark
+    integer fixed-point implementation (floor quantization, portable md5
+    init rank, smaller-cluster tie-break, floor-division centroid update,
+    empty clusters carried). Same pattern as ``_transe_sql``."""
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT id, list_transform(emb, x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+  FROM ({src})
+),
+dims AS (SELECT CAST(u.i AS INT) AS pos FROM unnest(range(0, {dim})) u(i)),
+qd AS MATERIALIZED (
+  SELECT id, pos, q[pos + 1] AS v FROM base, dims
+),
+init AS (
+  SELECT id, row_number() OVER (ORDER BY ({expansion}), id) - 1 AS c
+  FROM (SELECT id, md5(concat_ws('|', '{salt}', CAST(id AS VARCHAR))) AS h FROM base)
+),
+cd0 AS MATERIALIZED (
+  SELECT i.c, qd.pos, qd.v FROM init i JOIN qd ON qd.id = i.id WHERE i.c < {k}
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT qd.id, cd.c, sum((qd.v - cd.v) * (qd.v - cd.v)) AS dist
+  FROM qd JOIN cd{p} cd USING (pos) GROUP BY qd.id, cd.c
+),
+a{t} AS (
+  SELECT id, c FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM d{t}
+  ) WHERE rn = 1
+),
+u{t} AS MATERIALIZED (
+  SELECT a.c, qd.pos, sum(qd.v) AS s, count(*) AS n
+  FROM a{t} a JOIN qd ON qd.id = a.id GROUP BY a.c, qd.pos
+),
+cd{t} AS MATERIALIZED (
+  SELECT c, pos, CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS v FROM u{t}
+  UNION ALL
+  SELECT c, pos, v FROM cd{p} WHERE c NOT IN (SELECT DISTINCT c FROM u{t})
+)"""
+        )
+    parts.append(
+        f""",
+dfin AS (
+  SELECT qd.id, cd.c, sum((qd.v - cd.v) * (qd.v - cd.v)) AS dist
+  FROM qd JOIN cd{n_iter} cd USING (pos) GROUP BY qd.id, cd.c
+),
+afin AS MATERIALIZED (
+  SELECT id, c AS cluster FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM dfin
+  ) WHERE rn = 1
+)
+{final}"""
+    )
+    return "".join(parts)
+
+
+_SEMDEDUP_SRC_SQL = """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9)
+  FROM embeddings WHERE vec_id % 25 = 0"""
+
+_SEMDEDUP_FINAL_SQL = """,
+nrm AS (SELECT id, sum(v * v) AS n2 FROM qd GROUP BY id),
+prs AS (
+  SELECT x.id AS a, y.id AS b, x.cluster
+  FROM afin x JOIN afin y ON x.cluster = y.cluster AND x.id < y.id
+),
+dots AS (
+  SELECT p.a, p.b, p.cluster, sum(qa.v * qb.v) AS dot
+  FROM prs p
+  JOIN qd qa ON qa.id = p.a
+  JOIN qd qb ON qb.id = p.b AND qb.pos = qa.pos
+  GROUP BY p.a, p.b, p.cluster
+)
+SELECT d.a, d.b, d.cluster
+FROM dots d JOIN nrm na ON na.id = d.a JOIN nrm nb ON nb.id = d.b
+WHERE na.n2 > 0 AND nb.n2 > 0 AND d.dot > 0
+  AND 1000000 * d.dot * d.dot >= {t2} * na.n2 * nb.n2"""
+
+_KMEANS_CLUSTERS_SQL = _kmeans_sql()
+_SEMDEDUP_SQL = _kmeans_sql(
+    src=_SEMDEDUP_SRC_SQL, final=_SEMDEDUP_FINAL_SQL.format(t2=990 * 990)
+)
+
+
+def _kmeans_clusters_emb(spark, sf):
+    """Integer fixed-point Lloyd k-means (ops/kmeans) over the embeddings
+    table: cluster sizes under the final centroids. Deterministic by
+    construction (portable md5 init, smaller-cluster tie-break, floor-
+    division updates) — the DuckDB oracle unrolls both Lloyd rounds
+    bit-for-bit, the same way the TransE oracle unrolls epochs."""
+    from kgspark.ops.kmeans import kmeans_assign
+
+    e = _t(spark, sf, "embeddings")
+    a = kmeans_assign(e, k=4, n_iter=2)
+    return a.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _semdedup_emb(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means partitions the corpus, exact
+    integer cosine finds near-dup pairs WITHIN clusters only — the cluster
+    key bounds the self-join so pair volume is sum(cluster_size^2), never
+    n^2. Planted near-dups: every 25th vector re-enters scaled by 0.9
+    (same direction -> cosine ~1), which the threshold-990 gate must
+    recover. Division- and sqrt-free predicate (1e6*dot^2 >= t^2*|a|^2*
+    |b|^2), exact in int64 — the oracle replays it verbatim."""
+    from kgspark.ops.kmeans import semdedup_pairs
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+    )
+    return semdedup_pairs(
+        e.unionByName(planted), k=4, n_iter=2, threshold_milli=990
+    )
+
+
 def _lp_eval_sql(dim: int = 4, epochs: int = 2, scale: int = 1_000_000) -> str:
     def fdiv(x: str) -> str:
         return (
@@ -4140,6 +4283,49 @@ def _mp4_container_meta(spark, sf):
     return _witnessed(mp4_meta(media), "mp4_container_meta", sf)
 
 
+def _mp4_frame_decode(spark, sf):
+    """REAL video frame decode end to end (r04 — the former stub): executor-
+    generated Motion-JPEG MP4s (genuine stts/stsz/stsc/stco sample tables;
+    every sample a JPEG from the repo's own encoder) -> sample-table walk ->
+    per-sample JPEG decode into per-frame pixel stats, one Arrow-batched
+    stage. One planted avc1 container must contribute ZERO rows (the codec
+    gate refuses inter-coded tracks). Entropy decode isn't SQL-expressible
+    -> pinned golden-hash witness (input is sf-independent)."""
+    import numpy as np
+    import pandas as pd
+
+    from kgspark.ops.mp4 import encode_mjpeg_mp4, mp4_frames
+
+    def gen(batches):
+        ones = np.ones(64, dtype=np.int64)
+
+        def frame(i: int, j: int) -> np.ndarray:
+            y, x = np.mgrid[0:24, 0:16]
+            r = ((x * (3 + i) + y * (5 + j)) % 256).astype(np.uint8)
+            g = ((x * 7 + y * (2 + i) + 11 * j) % 256).astype(np.uint8)
+            b = ((x + y + 31 * i + 13 * j) % 256).astype(np.uint8)
+            return np.stack([r, g, b], axis=-1)
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                codec = "avc1" if i == 7 else "jpeg"  # one refused container
+                payloads.append(
+                    encode_mjpeg_mp4(
+                        [frame(i, j) for j in range(3)],
+                        fps=2 + (i % 4),
+                        codec=codec,
+                        luma_q=ones,
+                        chroma_q=ones,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["id"], "payload": payloads})
+
+    media = spark.range(12).mapInPandas(gen, schema="media_id long, payload binary")
+    return _witnessed(mp4_frames(media), "mp4_frame_decode", sf)
+
+
 def _audiohash_neardup(spark, sf):
     """Audio near-dup dedup: spectral-presence hash over REALLY-decoded WAV
     (planted near-dups: same tone mixture at 60% amplitude requantized to
@@ -4173,116 +4359,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver evaluates the first 50 keys. Round 1 verified
-    # q1_pricing_summary..percentile_stats, round 2 the then-fronted window;
-    # round 3 fronts (a) the three no-oracle queries so their NEW pinned
-    # golden-hash ``witness`` column gets a driver row, (b) every r01-only
-    # green (18 months of drift risk otherwise — every registry entry stays
-    # green within the last two rounds), and (c) the r02 greens whose
-    # underlying code changed this round (dense_index localCheckpoint,
-    # connected_components validation, normalize_url, curation observe()).
+    # ORDER MATTERS: the driver evaluates the first 50 keys each round.
+    # Round-4 window = pure verification-debt paydown (VERDICT r03 next-#2):
+    #   (a) media_decode_features — r03's only hard error (raw array column
+    #       crashed the driver canonicalizer; now to_json'd) — plus
+    #       mp4_frame_decode, NEW in r04 (the former stub, real for MJPEG);
+    #   (b) the 13 late-r03 operators that never had a driver row;
+    #   (c) the 14 r01-only greens evicted in r03 (two rounds stale);
+    #   (d) bpe_encode_docs + bm25_docs, whose underlying code changed this
+    #       round (driver-local bpe_train default; bm25_rank literal-binding
+    #       fix) — a fresh hard row over the new code paths;
+    #   (e) 19 r02 greens rotated back in before they age out.
+    # The 28 remaining r02-latest greens (first block behind the window, in
+    # order) are the r05 re-front list; the r03/r04 greens behind them are
+    # one round fresh and can wait.
     return {
-        # --- no-oracle queries, now self-verifying via _witnessed ---
-        "minhash_dedup_docs": _minhash_dedup_docs,
-        "simhash_docs": _simhash_docs,
-        "openie_web_corpus": _openie_web_corpus,
+        # --- (a) r03 hard-error fix + NEW r04 operator ---
         "media_decode_features": _media_decode_features,
-        "phash_neardup_media": _phash_neardup_media,
-        # --- NEW r03 operators: first driver rows ---
-        "decontaminate_docs": _decontaminate_docs,
-        "resample_temperature_docs": _resample_temperature_docs,
-        "minhash_incremental_portable": _minhash_incremental_portable,
-        "triangle_count_docs": _triangle_count_docs,
-        "repeated_spans_docs": _repeated_spans_docs,
-        # --- NEWEST r03 operators (graph suite, BPE, TransE, BM25): first
-        #     driver rows; window room made by evicting nine registry-local
-        #     Spark-builtin demos (w2/w4/p6/f-string/from_json/to_json/
-        #     set-ops/cube/date) whose only code is pyspark.sql.functions
-        #     calls in this file — no kgspark module behind them, so their
-        #     r01-green + the builtin test suite carries them; re-front in
-        #     r04. ppr_tpch and node2vec_docs later pushed percentile_stats
-        #     and range_band_join (both registry-local builtin demos) just
-        #     past the window — same carry, same r04 re-front.
-        #     harmonic_centrality_docs, link_scores_docs, and
-        #     clustering_coeff_docs (new operators, each needing its first
-        #     driver row) then pushed window_analytics, semi_anti_customers,
-        #     and q5_region_volume — all registry-local builtin demos
-        #     (row_number/lag/ROWS-frame sum; left-semi/anti joins; TPC-H
-        #     Q5-style multi-join) — the same way ---
-        "kcore_docs": _kcore_docs,
-        "label_propagation_docs": _label_propagation_docs,
-        "random_walks_docs": _random_walks_docs,
-        "bpe_pair_counts": _bpe_pair_counts,
-        "bpe_encode_docs": _bpe_encode_docs,
-        "transe_train_kg": _transe_train_kg,
-        "landmark_distance_docs": _landmark_distance_docs,
-        "lp_eval_kg": _lp_eval_kg,
-        "bm25_docs": _bm25_docs,
-        "ppr_tpch": _ppr_tpch,
-        "node2vec_docs": _node2vec_docs,
-        "harmonic_centrality_docs": _harmonic_docs,
-        "link_scores_docs": _link_scores_docs,
-        "clustering_coeff_docs": _clustering_coeff_docs,
-        # --- r01-only greens: re-cover this round ---
-        "p5_contains_filter": _p5_contains_filter,
-        "p8_json_cast_filter": _p8_json_cast_filter,
-        "e1_explode_tokens": _e1_explode_tokens,
-        "e4_bigram_triples": _e4_bigram_triples,
-        "a1_lww_canonicalize": _a1_lww_canonicalize,
-        "a2_distinct_dedup": _a2_distinct_dedup,
-        "a3_collect_set_str": _a3_collect_set_str,
-        "j2_onehop_expand": _j2_onehop_expand,
-        "j3_reverse_join": _j3_reverse_join,
-        "j4_twohop_bfs": _j4_twohop_bfs,
-        "j5_contains_join": _j5_contains_join,
-        "u1_union_by_name": _u1_union_by_name,
-        "w1_hash_sample": _w1_hash_sample,
-        "w3_topk_per_group": _w3_topk_per_group,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "dedup_exact": _dedup_exact,
-        "fingerprint_md5": _fingerprint_md5,
-        "lang_id": _lang_id,
-        "token_stats": _token_stats,
-        "quality_score": _quality_score,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "embedding_neardup": _embedding_neardup,
-        "rollup_counts": _rollup_counts,
-        "sessionize": _sessionize,
-        "stream_window_counts": _stream_window_counts,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_region_volume": _q5_region_volume,
-        "semi_anti_customers": _semi_anti_customers,
-        "window_analytics": _window_analytics,
-        "range_band_join": _range_band_join,
-        "percentile_stats": _percentile_stats,
-        # --- r02 greens rotated behind the window to make room for the five
-        #     NEW r03 operators above: their r03 code deltas (CC arg
-        #     validation, url scheme-less guard, curation observe()/
-        #     eval-gate, kg_sampling localCheckpoint) are pytest- and
-        #     entry-oracle-rehearsal-covered at the driver's own sf0.01
-        #     inputs; r02 keeps them inside the green-within-two-rounds
-        #     envelope ---
-        "dense_index_docs": _dense_index_docs,
-        "negative_samples_kg": _negative_samples_kg,
-        "url_normalize": _url_normalize,
-        "cc_components_tpch": _cc_components_tpch,
-        "curation_pipeline": _curation_pipeline,
-        # --- NEW in r03, behind the window (every checked-50 slot is needed
-        #     by changed-code or aging-green entries; the entry-oracle
-        #     rehearsal verifies each one — witnesses for the first two,
-        #     DuckDB oracles for the rest; r04 MUST front ALL SIX, plus the
-        #     nine evicted builtin demos above) ---
-        # --- evicted from the checked window this round for the newest nine
-        #     (see above): registry-local builtin demos, r01-green ---
-        "w2_topk_limit": _w2_topk_limit,
-        "w4_renumber": _w4_renumber,
-        "p6_rlike_filter": _p6_rlike_filter,
-        "f_string_funcs": _f_string_funcs,
-        "f7_from_json": _f7_from_json,
-        "f8_to_json": _f8_to_json,
-        "set_ops_keys": _set_ops_keys,
-        "cube_events": _cube_events,
-        "f_date_funcs": _f_date_funcs,
+        "mp4_frame_decode": _mp4_frame_decode,
+        # --- (b) late-r03 operators: first-ever driver rows ---
         "mp4_container_meta": _mp4_container_meta,
         "audiohash_neardup": _audiohash_neardup,
         "unigram_logprob_docs": _unigram_logprob_docs,
@@ -4296,16 +4391,48 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_alignment_docs": _span_alignment_docs,
         "script_profile_docs": _script_profile_docs,
         "encoding_quality_docs": _encoding_quality_docs,
-        # --- green in r02: rotate behind the window ---
-        # (pagerank_tpch and minhash_dedup_portable moved here in early r03;
-        #  the later r03 deltas to those modules (triangle_count appended to
-        #  graph_algs; _band_bucket_col factor + incremental pairer in dedup)
-        #  are driver-covered by triangle_count_docs, minhash_dedup_docs and
-        #  minhash_incremental_portable inside the window. Slots made room for
-        #  media_decode_features and phash_neardup_media in the checked 50)
+        # --- (c) r01-only greens: re-front (registry-local builtin demos) ---
+        "q5_region_volume": _q5_region_volume,
+        "semi_anti_customers": _semi_anti_customers,
+        "window_analytics": _window_analytics,
+        "range_band_join": _range_band_join,
+        "percentile_stats": _percentile_stats,
+        "w2_topk_limit": _w2_topk_limit,
+        "w4_renumber": _w4_renumber,
+        "p6_rlike_filter": _p6_rlike_filter,
+        "f_string_funcs": _f_string_funcs,
+        "f7_from_json": _f7_from_json,
+        "f8_to_json": _f8_to_json,
+        "set_ops_keys": _set_ops_keys,
+        "cube_events": _cube_events,
+        "f_date_funcs": _f_date_funcs,
+        # --- (d) changed-code refresh: new bpe_train default path, bm25
+        #     term-binding fix ---
+        "bpe_encode_docs": _bpe_encode_docs,
+        "bm25_docs": _bm25_docs,
+        # --- (e) r02 greens rotated back into the window ---
+        "kg_nodes_tpch": _kg_nodes_tpch,
+        "kg_edges_tpch": _kg_edges_tpch,
+        "cc_components_tpch": _cc_components_tpch,
         "pagerank_tpch": _pagerank_tpch,
+        "curation_pipeline": _curation_pipeline,
         "minhash_dedup_portable": _minhash_dedup_portable,
         "minhash_portable_sig": _minhash_portable_sig,
+        "context_cards": _context_cards,
+        "x6_mentions_join": _x6_mentions_join,
+        "asof_join_events": _asof_join_events,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "dense_index_docs": _dense_index_docs,
+        "negative_samples_kg": _negative_samples_kg,
+        "split_assign_docs": _split_assign_docs,
+        "pack_sequences": _pack_sequences,
+        "s1_scan_projection": _s1_scan_projection,
+        "p2_rename_projection": _p2_rename_projection,
+        "p3_blank_filter": _p3_blank_filter,
+        "url_normalize": _url_normalize,
+        # --- behind the window: r02-latest greens — the r05 re-front list,
+        #     oldest coverage first ---
+        "x6_mentions": _x6_mentions,
         "having_agg": _having_agg,
         "pivot_events": _pivot_events,
         "unpivot_part": _unpivot_part,
@@ -4332,19 +4459,60 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": _collocations_docs,
         "redact_pii_docs": _redact_pii_docs,
         "f_higher_order": _f_higher_order,
-        "context_cards": _context_cards,
-        "x6_mentions_join": _x6_mentions_join,
-        "split_assign_docs": _split_assign_docs,
-        "pack_sequences": _pack_sequences,
         "nfc_normalize": _nfc_normalize,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "kg_nodes_tpch": _kg_nodes_tpch,
-        "kg_edges_tpch": _kg_edges_tpch,
-        "asof_join_events": _asof_join_events,
-        "x6_mentions": _x6_mentions,
-        "s1_scan_projection": _s1_scan_projection,
-        "p2_rename_projection": _p2_rename_projection,
-        "p3_blank_filter": _p3_blank_filter,
+        # --- behind the window: r03-green / r03-witnessed (one round fresh;
+        #     rotate in r05 as slots allow) ---
+        "minhash_dedup_docs": _minhash_dedup_docs,
+        "simhash_docs": _simhash_docs,
+        "openie_web_corpus": _openie_web_corpus,
+        "phash_neardup_media": _phash_neardup_media,
+        "decontaminate_docs": _decontaminate_docs,
+        "resample_temperature_docs": _resample_temperature_docs,
+        "minhash_incremental_portable": _minhash_incremental_portable,
+        "triangle_count_docs": _triangle_count_docs,
+        "repeated_spans_docs": _repeated_spans_docs,
+        "kcore_docs": _kcore_docs,
+        "label_propagation_docs": _label_propagation_docs,
+        "random_walks_docs": _random_walks_docs,
+        "bpe_pair_counts": _bpe_pair_counts,
+        "transe_train_kg": _transe_train_kg,
+        "landmark_distance_docs": _landmark_distance_docs,
+        "lp_eval_kg": _lp_eval_kg,
+        "ppr_tpch": _ppr_tpch,
+        "node2vec_docs": _node2vec_docs,
+        "harmonic_centrality_docs": _harmonic_docs,
+        "link_scores_docs": _link_scores_docs,
+        "clustering_coeff_docs": _clustering_coeff_docs,
+        "p5_contains_filter": _p5_contains_filter,
+        "p8_json_cast_filter": _p8_json_cast_filter,
+        "e1_explode_tokens": _e1_explode_tokens,
+        "e4_bigram_triples": _e4_bigram_triples,
+        "a1_lww_canonicalize": _a1_lww_canonicalize,
+        "a2_distinct_dedup": _a2_distinct_dedup,
+        "a3_collect_set_str": _a3_collect_set_str,
+        "j2_onehop_expand": _j2_onehop_expand,
+        "j3_reverse_join": _j3_reverse_join,
+        "j4_twohop_bfs": _j4_twohop_bfs,
+        "j5_contains_join": _j5_contains_join,
+        "u1_union_by_name": _u1_union_by_name,
+        "w1_hash_sample": _w1_hash_sample,
+        "w3_topk_per_group": _w3_topk_per_group,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "dedup_exact": _dedup_exact,
+        "fingerprint_md5": _fingerprint_md5,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "quality_score": _quality_score,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_neardup": _embedding_neardup,
+        "rollup_counts": _rollup_counts,
+        "sessionize": _sessionize,
+        "stream_window_counts": _stream_window_counts,
+        "q3_shipping_priority": _q3_shipping_priority,
+        # --- NEW in r04, behind the window (oracle-rehearsed in pytest and
+        #     the full-registry sim; front in r05 with the r02 list) ---
+        "kmeans_clusters_emb": _kmeans_clusters_emb,
+        "semdedup_emb": _semdedup_emb,
     }
 
 
@@ -4466,5 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": _COLLOCATIONS_SQL,
         "negative_samples_kg": _NEG_SAMPLES_SQL,
         "redact_pii_docs": _REDACT_PII_SQL,
+        "kmeans_clusters_emb": _KMEANS_CLUSTERS_SQL,
+        "semdedup_emb": _SEMDEDUP_SQL,
         # minhash_dedup_docs / simhash_docs / openie_web_corpus: rows-only
     }

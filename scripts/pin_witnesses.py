@@ -26,6 +26,7 @@ WITNESSED = [
     "media_decode_features",
     "phash_neardup_media",
     "mp4_container_meta",
+    "mp4_frame_decode",
     "audiohash_neardup",
     "bpe_encode_docs",
 ]
