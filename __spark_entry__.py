@@ -4426,12 +4426,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples_kg": _negative_samples_kg,
         "split_assign_docs": _split_assign_docs,
         "pack_sequences": _pack_sequences,
-        "s1_scan_projection": _s1_scan_projection,
-        "p2_rename_projection": _p2_rename_projection,
         "p3_blank_filter": _p3_blank_filter,
         "url_normalize": _url_normalize,
+        # --- (f) brand-new r04 operators: never driver-checked, so they MUST
+        #     take window slots (the r03 lesson); s1_scan_projection /
+        #     p2_rename_projection yielded — both r02-green, code unchanged,
+        #     and independently pinned by the golden-parity pytest every
+        #     session ---
+        "kmeans_clusters_emb": _kmeans_clusters_emb,
+        "semdedup_emb": _semdedup_emb,
         # --- behind the window: r02-latest greens — the r05 re-front list,
         #     oldest coverage first ---
+        "s1_scan_projection": _s1_scan_projection,
+        "p2_rename_projection": _p2_rename_projection,
         "x6_mentions": _x6_mentions,
         "having_agg": _having_agg,
         "pivot_events": _pivot_events,
@@ -4509,10 +4516,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "stream_window_counts": _stream_window_counts,
         "q3_shipping_priority": _q3_shipping_priority,
-        # --- NEW in r04, behind the window (oracle-rehearsed in pytest and
-        #     the full-registry sim; front in r05 with the r02 list) ---
-        "kmeans_clusters_emb": _kmeans_clusters_emb,
-        "semdedup_emb": _semdedup_emb,
     }
 
 

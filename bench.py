@@ -31,7 +31,22 @@ def main() -> None:
 
     from kgspark.session import get_spark
 
+    def cpu_jiffies() -> tuple[int, int]:
+        # (steal, total) jiffies from /proc/stat line 1. Steal is the
+        # hypervisor-level co-tenant signal loadavg cannot separate from
+        # our own 32 worker threads: it counts time the vCPUs were
+        # runnable but the host gave the core to someone else.
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except OSError:  # non-Linux fallback
+            return 0, 0
+
     load_at_start = os.getloadavg()  # co-tenant load BEFORE we add our own
+    steal0, jiff0 = cpu_jiffies()
     spark = get_spark("kgspark-bench", cpus=cpus)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -153,6 +168,12 @@ def main() -> None:
     # recording loadavg makes load-noise vs real regression machine-
     # distinguishable instead of a prose argument (VERDICT r03 #4)
     la1, la5, la15 = os.getloadavg()
+    steal1, jiff1 = cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (jiff1 - jiff0), 2)
+        if jiff1 > jiff0
+        else None
+    )
     result = {
         "metric": "kg_construction_bench_total",
         "value": round(sum(timings.values()), 3),
@@ -164,6 +185,7 @@ def main() -> None:
         "loadavg_start_5m": round(load_at_start[1], 2),
         "loadavg_end_1m": round(la1, 2),
         "loadavg_end_15m": round(la15, 2),
+        "cpu_steal_pct": steal_pct,
         **extras,
     }
     print(json.dumps(result))

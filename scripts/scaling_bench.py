@@ -36,17 +36,28 @@ from kgspark import fixtures
 from kgspark.extract.openie import extract_doc_triples
 from kgspark.construct.graph import edges_from_triples
 
+def jiffies():
+    # (steal, total) from /proc/stat: hypervisor co-tenant time our own
+    # threads cannot inflate (see bench.py cpu_steal_pct).
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return (v[7] if len(v) > 7 else 0), sum(v)
+    except OSError:
+        return 0, 0
+
 spark = get_spark(f"scaling-{cpus}", cpus=cpus)
 pages = fixtures.web_pages_df(spark, n_docs, partitions=parts).localCheckpoint()
 pages.count()  # corpus synthesis off the clock
 extract_doc_triples(pages.limit(2000), fused_html=True).count()  # warm workers
 best = None
+s0, j0 = jiffies()
 for _ in range(3):
     t0 = time.perf_counter()
     triples = extract_doc_triples(pages, fused_html=True)
     n_edges = edges_from_triples(triples).count()
     el = time.perf_counter() - t0
     best = el if best is None else min(best, el)
+s1, j1 = jiffies()
 n_triples = extract_doc_triples(pages, fused_html=True).count()
 print(json.dumps({
     "cpus": cpus, "n_docs": n_docs, "partitions": parts,
@@ -54,6 +65,7 @@ print(json.dumps({
     "n_triples": n_triples, "n_edges": n_edges,
     "docs_per_sec": round(n_docs / best, 1),
     "triples_per_sec": round(n_triples / best, 1),
+    "cpu_steal_pct": round(100.0 * (s1 - s0) / (j1 - j0), 2) if j1 > j0 else None,
 }))
 spark.stop()
 """
