@@ -1530,6 +1530,190 @@ LEFT JOIN hits h USING (doc_id)
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
 
+def _bloom_decontam_docs(spark, sf):
+    """Bloom-filter decontamination (ops/curation.bloom_words +
+    bloom_decontaminate): the val split's 3-gram Bloom (2^16 bits, k=3)
+    probed by every train document as a PURE-JVM literal-array pass — no
+    join, no shuffle of corpus data. Engine-portable md5 bit positions:
+    the DuckDB oracle rebuilds the identical filter words and replays
+    every hit, INCLUDING the false positives the compact filter admits —
+    bloom semantics verified end to end, not approximated."""
+    from kgspark.ops.curation import bloom_decontaminate, bloom_words, split_assign
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = d.withColumn("split", split_assign(F.col("doc_id")))
+    ev = d.filter(F.col("split") == "val").select("doc_id", "text")
+    corpus = d.filter(F.col("split") != "val").select("doc_id", "text")
+    cfg = dict(n=3, m_bits=1 << 16, k_hashes=3)
+    words = bloom_words(ev, **cfg)
+    return bloom_decontaminate(corpus, words, **cfg).select(
+        "doc_id",
+        F.col("bloom_hits").cast("long").alias("bloom_hits"),
+        F.col("maybe_contaminated").cast("int").alias("maybe_contaminated"),
+    )
+
+
+def _bloom_decontam_sql(m_bits: int = 1 << 16, k: int = 3) -> str:
+    digits = "0123456789abcdef"
+    split_expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+
+    def pos_expansion(col: str) -> str:
+        return " + ".join(
+            f"CAST(strpos('{digits}', substr({col}, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+spl AS (
+  SELECT doc_id, ({split_expansion}) % 100 AS bucket
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 15) AS h
+        FROM documents WHERE text IS NOT NULL)
+),
+masks AS (
+  SELECT b, CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(1 AS BIGINT) << b END AS mask
+  FROM (SELECT unnest(range(0, 64)) AS b)
+),
+grams AS (
+  SELECT toks.doc_id, md5(array_to_string(t[i : i + 2], ' ')) AS ng
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i) u
+),
+evpos AS (
+  SELECT DISTINCT
+         ({pos_expansion("substr(md5(ng || '|' || CAST(j AS VARCHAR) || '|bloom-v1'), 1, 15)")}) % {m_bits} AS pos
+  FROM (SELECT DISTINCT ng FROM grams JOIN spl USING (doc_id) WHERE bucket < 5),
+       (SELECT unnest(range(0, {k})) AS j)
+),
+words AS (
+  SELECT CAST(pos // 64 AS BIGINT) AS word_idx, bit_or(m.mask) AS word
+  FROM evpos JOIN masks m ON m.b = pos % 64
+  GROUP BY 1
+),
+cgrams AS (
+  SELECT DISTINCT g.doc_id, g.ng
+  FROM grams g JOIN spl USING (doc_id) WHERE bucket >= 5
+),
+cpos AS (
+  SELECT doc_id, ng, j,
+         ({pos_expansion("substr(md5(ng || '|' || CAST(j AS VARCHAR) || '|bloom-v1'), 1, 15)")}) % {m_bits} AS pos
+  FROM cgrams, (SELECT unnest(range(0, {k})) AS j)
+),
+gram_hits AS (
+  SELECT p.doc_id, p.ng,
+         bool_and(COALESCE((w.word & m.mask) <> 0, FALSE)) AS hit
+  FROM cpos p
+  JOIN masks m ON m.b = p.pos % 64
+  LEFT JOIN words w ON w.word_idx = p.pos // 64
+  GROUP BY p.doc_id, p.ng
+),
+hits AS (
+  SELECT doc_id, count(*) AS c FROM gram_hits WHERE hit GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.c, 0) AS bloom_hits,
+       CASE WHEN COALESCE(h.c, 0) > 0 THEN 1 ELSE 0 END AS maybe_contaminated
+FROM (SELECT doc_id FROM spl WHERE bucket >= 5) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+_BLOOM_DECONTAM_SQL = _bloom_decontam_sql()
+
+
+def _dsir_scores_docs(spark, sf):
+    """DSIR importance weights (ops/curation.dsir_scores): val split as
+    the target sample, train split as corpus AND raw pool; hashed
+    unigram+bigram buckets, integer-millinat log-ratio scores. The
+    corpus pass is a literal-array JVM projection (no join/shuffle);
+    the oracle recomputes the same integers via the join shape — same
+    fixed-point values either way."""
+    from kgspark.ops.curation import dsir_scores, split_assign
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = d.withColumn("split", split_assign(F.col("doc_id")))
+    target = d.filter(F.col("split") == "val").select("doc_id", "text")
+    corpus = d.filter(F.col("split") != "val").select("doc_id", "text")
+    return dsir_scores(corpus, target, n_buckets=4096).select(
+        "doc_id", "n_features", "logweight_millinat"
+    )
+
+
+def _dsir_scores_sql(n_buckets: int = 4096) -> str:
+    digits = "0123456789abcdef"
+    split_expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    bucket_expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(bh, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+spl AS (
+  SELECT doc_id, ({split_expansion}) % 100 AS bucket
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 15) AS h
+        FROM documents WHERE text IS NOT NULL)
+),
+feats AS (
+  SELECT doc_id, ({bucket_expansion}) % {n_buckets} AS b
+  FROM (
+    SELECT doc_id,
+           substr(md5(md5(array_to_string(t[i : i], ' ')) || '|dsir-v1'), 1, 15) AS bh
+    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) + 1, 1))) AS i) u
+    UNION ALL
+    SELECT doc_id,
+           substr(md5(md5(array_to_string(t[i : i + 1], ' ')) || '|dsir-v1'), 1, 15) AS bh
+    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) u
+  )
+),
+tcounts AS (
+  SELECT b, count(*) AS c FROM feats JOIN spl USING (doc_id) WHERE bucket < 5 GROUP BY b
+),
+rcounts AS (
+  SELECT b, count(*) AS c FROM feats JOIN spl USING (doc_id) WHERE bucket >= 5 GROUP BY b
+),
+llr AS (
+  SELECT COALESCE(tc.b, rc.b) AS b,
+         CAST(round(ln(COALESCE(tc.c, 0) + 1) * 1000) AS BIGINT)
+         - CAST(round(ln(COALESCE(rc.c, 0) + 1) * 1000) AS BIGINT) AS v
+  FROM tcounts tc FULL OUTER JOIN rcounts rc ON tc.b = rc.b
+),
+konst AS (
+  SELECT CAST(round(ln((SELECT COALESCE(sum(c), 0) FROM rcounts) + {n_buckets}) * 1000) AS BIGINT)
+       - CAST(round(ln((SELECT COALESCE(sum(c), 0) FROM tcounts) + {n_buckets}) * 1000) AS BIGINT) AS v
+),
+per_doc AS (
+  SELECT f.doc_id, count(*) AS n_features,
+         CAST(sum(COALESCE(l.v, 0)) AS BIGINT) AS s
+  FROM feats f JOIN spl USING (doc_id)
+  LEFT JOIN llr l ON l.b = f.b
+  WHERE bucket >= 5
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_features, 0) AS n_features,
+       COALESCE(p.s + p.n_features * (SELECT v FROM konst), 0) AS logweight_millinat
+FROM (SELECT doc_id FROM spl WHERE bucket >= 5) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+_DSIR_SCORES_SQL = _dsir_scores_sql()
+
+
 def _resample_temperature_docs(spark, sf):
     """Temperature-based domain rebalancing (ops/curation.
     resample_temperature): a skewed synthetic grouping (60/30/10% of
@@ -4516,6 +4700,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "stream_window_counts": _stream_window_counts,
         "q3_shipping_priority": _q3_shipping_priority,
+        # --- NEW in r04 after the window froze: front in r05 with the
+        #     r02 list (never driver-checked until then) ---
+        "bloom_decontam_docs": _bloom_decontam_docs,
+        "dsir_scores_docs": _dsir_scores_docs,
     }
 
 
@@ -4580,6 +4768,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign_docs": _SPLIT_ASSIGN_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "bloom_decontam_docs": _BLOOM_DECONTAM_SQL,
+        "dsir_scores_docs": _DSIR_SCORES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

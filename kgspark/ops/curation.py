@@ -765,3 +765,303 @@ def cap_per_group(
     return df.withColumn(
         "is_kept", F.row_number().over(w) <= k
     )
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+
+_BLOOM_MAX_BITS = 1 << 22  # 65,536 words -> ~512 KB inlined literal array
+_BLOOM_CONFIG_IDX = -1  # sentinel row carrying the config fingerprint
+
+
+def _bloom_pos(ng: Column, j: int, m_bits: int, salt: str) -> Column:
+    """Bit position j for an n-gram hash: portable 60-bit md5 int mod m.
+    Same digit expansion in every engine (cf. split_assign / transe)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(ng.cast("string"), F.lit(f"|{j}|{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def _pow2_lit() -> Column:
+    # int64 bit masks indexed by bit position (element_at is 1-based).
+    # Literal table instead of shiftleft-by-column (the functions-API
+    # shiftleft takes only a Python int); bit 63 is the sign bit.
+    return F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+
+
+def _bloom_config_fingerprint(
+    n: int, m_bits: int, k_hashes: int, salt: str, hash: str
+) -> int:
+    import hashlib
+
+    digest = hashlib.md5(
+        f"{n}|{m_bits}|{k_hashes}|{salt}|{hash}".encode()
+    ).hexdigest()
+    return int(digest[:15], 16)
+
+
+def bloom_words(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloom-v1",
+    hash: str = "md5",
+) -> DataFrame:
+    """Build a Bloom filter over an eval set's word n-grams as a
+    ``(word_idx, word)`` int64 table — the persistable decontamination
+    artifact ``bloom_decontaminate`` tests against.
+
+    Why a Bloom next to ``decontaminate``'s exact distinct-hash set: the
+    filter is a FIXED-SIZE reusable artifact (m_bits/8 bytes regardless of
+    eval-set growth — 2^20 bits = 128 KB vs ~80 MB of raw 13-gram hashes
+    for a 1e7-n-gram suite), so a pipeline that decontaminates every
+    incremental crawl batch ships kilobytes to the corpus pass instead of
+    re-broadcasting the hash set, and the artifact can be published
+    without exposing the eval n-grams themselves. The price is a bounded
+    false-positive rate (~(1-e^(-k*n/m))^k — callers route Bloom hits
+    into the exact ``decontaminate`` probe when the over-drop matters).
+
+    Build shape: eval n-grams distinct-reduced, k bit positions per
+    n-gram, one ``groupBy(word_idx)``+``bit_or`` aggregate — map-side
+    combinable, output is exactly ``<= m_bits/64`` rows. Every position
+    comes from the engine-portable md5 digit expansion, so a DuckDB
+    oracle rebuilds the identical words INCLUDING false positives —
+    the filter is bit-for-bit reproducible anywhere.
+
+    A ``word_idx = -1`` sentinel row fingerprints (n, m_bits, k_hashes,
+    salt, hash); ``bloom_decontaminate`` refuses an artifact whose
+    fingerprint does not match its own parameters (the
+    ``minhash_incremental`` n_perm-guard pattern).
+    """
+    if m_bits % 64 != 0 or not 64 <= m_bits <= _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits must be a multiple of 64 in [64, {_BLOOM_MAX_BITS}], got {m_bits}"
+        )
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(f"k_hashes must be in [1, 8], got {k_hashes}")
+    ev = (
+        eval_df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(ngram_hashes(F.col(text_col), n=n, hash=hash)).alias("_ng"))
+        .distinct()
+    )
+    pos = ev.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("_ng"), j, m_bits, salt) for j in range(k_hashes)])
+        ).alias("_pos")
+    )
+    words = pos.groupBy(
+        F.floor(F.col("_pos") / 64).cast("long").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.element_at(_pow2_lit(), F.pmod("_pos", F.lit(64)).cast("int") + 1)
+        ).alias("word")
+    )
+    spark = eval_df.sparkSession
+    config = spark.createDataFrame(
+        [(
+            _BLOOM_CONFIG_IDX,
+            _bloom_config_fingerprint(n, m_bits, k_hashes, salt, hash),
+        )],
+        "word_idx long, word long",
+    )
+    return words.unionByName(config)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloom-v1",
+    hash: str = "md5",
+) -> DataFrame:
+    """Mark corpus documents whose word n-grams hit a ``bloom_words``
+    filter. Returns the corpus plus ``bloom_hits`` (distinct n-grams with
+    all k bits set) and ``maybe_contaminated`` — "maybe" is honest: a
+    Bloom answers "definitely clean" or "possibly contaminated"; route
+    the (rare) hits through the exact ``decontaminate`` probe when the
+    false-positive rate matters.
+
+    100 TB shape: the words table is collected once (``<= m_bits/64``
+    int64s, guarded — dimension-scale like the k-means centroids) and
+    inlined as a literal array, so the corpus pass is PURE JVM
+    expressions — n-gram slice, k md5 positions, ``element_at`` +
+    bitwise AND against the literal — with no join, no shuffle, nothing
+    but a narrow projection over the corpus scan. Plain
+    ``decontaminate`` still shuffles its (rare) hit rows into a
+    groupBy; this variant's corpus stage is shuffle-free.
+    """
+    fp = _bloom_config_fingerprint(n, m_bits, k_hashes, salt, hash)
+    rows = bloom.collect()
+    config_rows = [r for r in rows if int(r["word_idx"]) == _BLOOM_CONFIG_IDX]
+    if config_rows and int(config_rows[0]["word"]) != fp:
+        raise ValueError(
+            "bloom filter config mismatch: artifact was built with different "
+            "(n, m_bits, k_hashes, salt, hash) than this probe"
+        )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        i = int(r["word_idx"])
+        if i != _BLOOM_CONFIG_IDX:
+            words[i] = int(r["word"])
+    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+
+    def member(ng: Column) -> Column:
+        cond = None
+        for j in range(k_hashes):
+            pos = _bloom_pos(ng, j, m_bits, salt)
+            word = F.element_at(words_lit, F.floor(pos / 64).cast("int") + 1)
+            mask = F.element_at(_pow2_lit(), F.pmod(pos, F.lit(64)).cast("int") + 1)
+            bit_set = word.bitwiseAND(mask) != 0
+            cond = bit_set if cond is None else cond & bit_set
+        return cond
+
+    hits = F.size(
+        F.filter(
+            F.array_distinct(ngram_hashes(F.col(text_col), n=n, hash=hash)), member
+        )
+    )
+    return corpus.withColumn(
+        "bloom_hits",
+        F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(hits).cast("long"),
+    ).withColumn("maybe_contaminated", F.col("bloom_hits") > 0)
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+_DSIR_MAX_BUCKETS = 1 << 16
+
+
+def _dsir_bucket(ng: Column, n_buckets: int, salt: str) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(ng.cast("string"), F.lit(f"|{salt}"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def _dsir_features(text: Column, n_buckets: int, salt: str) -> Column:
+    """Hashed unigram+bigram feature buckets of a document (DSIR's
+    hashed n-gram featurization) — one generated array, all JVM."""
+    grams = F.concat(
+        ngram_hashes(text, n=1, hash="md5"), ngram_hashes(text, n=2, hash="md5")
+    )
+    return F.transform(grams, lambda g: _dsir_bucket(g, n_buckets, salt))
+
+
+def _r1000_ln(x: Column) -> Column:
+    # fixed-point millinat log — the unigram_logprob determinism discipline:
+    # one engine-local ln per DISTINCT value, rounded to integer millinats,
+    # so every downstream aggregation is exact int64 math in any order.
+    return F.round(F.log(x) * 1000).cast("bigint")
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    every corpus document by how target-like it is under hashed-n-gram
+    bag-of-features models of a ``target`` sample vs the ``raw`` pool
+    (default: the corpus itself). Select top-weight documents (or
+    Gumbel-top-k on the returned weights) to build a target-leaning
+    training mix without an external classifier.
+
+    Returns the corpus plus ``n_features`` and ``logweight_millinat``:
+    ``sum_f [ln p_target(f) - ln p_raw(f)]`` over the document's unigram
+    + bigram hash buckets, Laplace-smoothed, in integer millinats
+    (fixed-point ``round(1000*ln)`` per distinct count — the
+    ``unigram_logprob`` discipline — so the per-doc sum is exact int64
+    in any partition order and the DuckDB oracle replays it
+    bit-for-bit). Zero-feature documents score 0.
+
+    100 TB shape: the two bucket-count aggregates are map-side
+    combinable into ``<= n_buckets`` rows (dimension-scale, guarded);
+    their log-ratio table is collected ONCE and inlined as a literal
+    int64 array (the k-means-centroid pattern), so the corpus scoring
+    pass is a pure-JVM narrow projection — tokenize, hash, bucket,
+    ``element_at`` + integer aggregate — with NO join and NO shuffle of
+    corpus data. The reference has no data-selection tier; north-rule
+    addition alongside decontaminate / resample_temperature.
+    """
+    if not 2 <= n_buckets <= _DSIR_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets must be in [2, {_DSIR_MAX_BUCKETS}], got {n_buckets}"
+        )
+    if raw is None:
+        raw = corpus
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.explode(_dsir_features(F.col(text_col), n_buckets, salt)).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(raw)
+    llr_rows = (
+        tc.withColumnRenamed("_c", "_ct")
+        .join(rc.withColumnRenamed("_c", "_cr"), "_b", "full_outer")
+        .select(
+            "_b",
+            (
+                _r1000_ln(F.coalesce("_ct", F.lit(0)) + 1)
+                - _r1000_ln(F.coalesce("_cr", F.lit(0)) + 1)
+            ).alias("_llr"),
+        )
+        .collect()
+    )
+    totals = (
+        tc.agg(F.sum("_c").alias("_nt"))
+        .crossJoin(rc.agg(F.sum("_c").alias("_nr")))
+        .select(
+            (
+                _r1000_ln(F.coalesce("_nr", F.lit(0)) + n_buckets)
+                - _r1000_ln(F.coalesce("_nt", F.lit(0)) + n_buckets)
+            ).alias("_const")
+        )
+        .first()
+    )
+    const_milli = int(totals["_const"])
+    llr = [0] * n_buckets
+    for r in llr_rows:
+        llr[int(r["_b"])] = int(r["_llr"])
+    llr_lit = F.array(*[F.lit(v).cast("long") for v in llr])
+
+    feats = _dsir_features(F.col(text_col), n_buckets, salt)
+    n_f = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(feats)).cast("long")
+    raw_sum = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(llr_lit, b.cast("int") + 1),
+    )
+    return corpus.withColumn("n_features", n_f).withColumn(
+        "logweight_millinat",
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(raw_sum + n_f * F.lit(const_milli))
+        .cast("long"),
+    )
