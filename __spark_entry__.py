@@ -88,8 +88,9 @@ def _witnessed(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     against the pinned constant for this input. The driver's rows-only check
     then captures a hard pass/FAIL signal instead of just a row count.
     Unknown inputs (no pin) surface the fingerprint as ``unpinned:...`` so a
-    new sf can be pinned from the recorded output. The fingerprint rides the
-    same plan as a broadcast one-row aggregate (no second action).
+    new sf can be pinned from the recorded output. The fingerprint is
+    materialized once (eager 1-row localCheckpoint) and broadcast; the
+    data rows are the only other execution of the query plan.
 
     A FAIL verdict additionally unions one marker row (all data columns
     NULL, witness carrying the FAIL string), so the recorded ``spark_rows``
@@ -98,10 +99,14 @@ def _witnessed(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     (VERDICT r03 "What's wrong #3")."""
     key = (name, Path(str(sf_dir).rstrip("/")).name)
     cols = ", ".join(f"`{c}`" for c in df.columns)
+    # eager pin: the 1-row fingerprint feeds BOTH the broadcast verdict
+    # column and the FAIL marker branch — without the checkpoint each
+    # consumer re-executes the full query plan (3 runs of a decode-heavy
+    # pipeline per collect instead of 2)
     fp = df.agg(
         F.count(F.lit(1)).alias("_wn"),
         F.coalesce(F.expr(f"bit_xor(xxhash64({cols}))"), F.lit(0)).alias("_wh"),
-    )
+    ).localCheckpoint(eager=True)
     got = F.concat_ws(",", F.col("_wn").cast("string"), F.col("_wh").cast("string"))
     pin = _WITNESS_PINS.get(key)
     if pin is None:

@@ -212,11 +212,15 @@ def bpe_train(
     ``distributed=True`` — or a vocab larger than ``max_local_vocab``
     (checked with one cheap count) — keeps the loop on the cluster; both
     paths produce identical merges and segmentation."""
-    w = words.select("word", "freq", char_symbols("word").alias("syms")).localCheckpoint()
-    if not distributed and w.count() <= max_local_vocab:
+    if min_freq < 1:
+        # min_freq <= 0 would let the local argmax pick stale zero-count
+        # residuals (phantom merges) while the distributed recount sees
+        # none — the two paths' bit-identical contract breaks
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if not distributed and words.count() <= max_local_vocab:
         vocab = [
             (r["word"], r["freq"])
-            for r in w.select("word", "freq").collect()
+            for r in words.select("word", "freq").collect()
         ]
         # canonical order so the loop is independent of partition order
         vocab.sort()
@@ -226,6 +230,9 @@ def bpe_train(
             segmented, "word string, freq bigint, syms array<string>"
         )
         return merges, seg_df
+    # fallback tier only: the char-split column and its checkpoint are
+    # needed by the per-merge loop, not by the local path above
+    w = words.select("word", "freq", char_symbols("word").alias("syms")).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         top = (

@@ -347,7 +347,13 @@ def build_training_shards(
     if token_counter not in ("ws", "bpe"):
         raise ValueError(f"token_counter must be 'ws' or 'bpe', got {token_counter!r}")
     count_tokens = token_count_ws if token_counter == "ws" else token_count_bpe
-    gates = dict(gates or {})
+    # None/False mean "gate disabled" for EVERY key (identity check so
+    # encoding_max_ppm=0 stays a valid, strictest-possible threshold) —
+    # otherwise gates={"line_dedup": False} would run the most expensive
+    # gate by mere key presence while {"gopher": False} skipped it
+    gates = {
+        k: v for k, v in (gates or {}).items() if v is not None and v is not False
+    }
     unknown = set(gates) - {"blocklist", "encoding_max_ppm", "gopher", "line_dedup"}
     if unknown:
         raise ValueError(f"unknown gates: {sorted(unknown)}")
@@ -908,7 +914,17 @@ def bloom_decontaminate(
     fp = _bloom_config_fingerprint(n, m_bits, k_hashes, salt, hash)
     rows = bloom.collect()
     config_rows = [r for r in rows if int(r["word_idx"]) == _BLOOM_CONFIG_IDX]
-    if config_rows and int(config_rows[0]["word"]) != fp:
+    if not config_rows:
+        # a sentinel-less artifact cannot be trusted: probing with smaller
+        # m_bits than it was built with would silently zero-fill missing
+        # words and produce FALSE NEGATIVES — the one thing a Bloom must
+        # never do. Refuse instead of guessing.
+        raise ValueError(
+            "bloom filter artifact has no config sentinel row (word_idx = -1); "
+            "rebuild it with bloom_words — do not strip the sentinel when "
+            "persisting"
+        )
+    if int(config_rows[0]["word"]) != fp:
         raise ValueError(
             "bloom filter config mismatch: artifact was built with different "
             "(n, m_bits, k_hashes, salt, hash) than this probe"

@@ -97,6 +97,8 @@ def kmeans_assign(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
     q = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), scale).alias("_q"))
@@ -199,6 +201,20 @@ def semdedup_pairs(
             lambda acc, x: acc + x,
         ).alias("_n2"),
     )
+    # Exactness guard: the predicate computes 10^6 * dot^2 and t^2 * n_a *
+    # n_b in int64; both are bounded by 10^6 * max(_n2)^2, which stays
+    # under 2^63 only while max(_n2) <= 3,036,952 (unit-norm vectors at
+    # scale 1000 give _n2 ~ 10^6 — 3x headroom). Spark's non-ANSI long
+    # arithmetic would WRAP silently past that, dropping true near-dups,
+    # so refuse loudly instead (one narrow aggregate, far cheaper than the
+    # self-join it protects).
+    mx = m.agg(F.max("_n2").alias("m")).first()
+    if mx is not None and mx["m"] is not None and int(mx["m"]) > 3_036_952:
+        raise ValueError(
+            f"semdedup_pairs: max squared norm {int(mx['m'])} overflows the "
+            "int64 cosine predicate (bound 3,036,952) — lower `scale` or "
+            "L2-normalize the embeddings first"
+        )
     left = m.select(
         "cluster",
         F.col("_id").alias("a"),

@@ -211,6 +211,11 @@ def _parse_stbl(data: bytes, start: int, end: int, count: list[int]) -> dict:
             uniform, n = _u32s(data, p, 2)
             if n > _MAX_SAMPLES:
                 raise ValueError("MP4 declares more samples than the sanity bound")
+            if not uniform and p + 8 + 4 * n > b1:
+                # bound by the box like co64, not by total file length —
+                # otherwise a lying entry count silently reads the NEXT
+                # boxes' bytes as sample sizes (garbage offsets downstream)
+                raise ValueError("MP4 stsz overruns its box")
             tab["sizes"] = [uniform] * n if uniform else _u32s(data, p + 8, n)
         elif typ == b"stsc":
             (n,) = _u32s(data, p, 1)
@@ -218,6 +223,8 @@ def _parse_stbl(data: bytes, start: int, end: int, count: list[int]) -> dict:
             tab["stsc"] = [(flat[i], flat[i + 1]) for i in range(0, len(flat) - 2, 3)]
         elif typ == b"stco":
             (n,) = _u32s(data, p, 1)
+            if p + 4 + 4 * n > b1:
+                raise ValueError("MP4 stco overruns its box")
             tab["chunk_offsets"] = _u32s(data, p + 4, n)
         elif typ == b"co64":
             (n,) = _u32s(data, p, 1)
@@ -308,7 +315,17 @@ def decode_mp4_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
             f"MP4 video codec {codec!r} needs external decode libraries "
             "(ffmpeg/PyAV); MJPEG tracks ('jpeg'/'mjpa'/'mjpb') decode natively"
         )
-    _codec, samples = extract_video_samples(data)
+    track_codec, samples = extract_video_samples(data)
+    if track_codec not in _MJPEG_FOURCC:
+        # the metadata gate above checks the FIRST video track; the track
+        # the extractor actually selected is the first one with complete
+        # sample tables — in a multi-track file these can differ, and
+        # feeding inter-coded samples to the JPEG decoder would surface as
+        # a misleading malformed-JPEG ValueError
+        raise NotImplementedError(
+            f"MP4 sample-bearing video track codec {track_codec!r} needs "
+            "external decode libraries (ffmpeg/PyAV)"
+        )
     from kgspark.ops.jpeg import decode_jpeg
 
     return [(ts, decode_jpeg(s)) for ts, s in samples]

@@ -1,0 +1,128 @@
+"""Round-4 code-review fixes: overflow/validation guards and gate
+semantics that the r04 review pass surfaced."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_rejects_sentinel_less_artifact(spark):
+    from kgspark.ops.curation import bloom_decontaminate, bloom_words
+
+    ev = _docs(spark, [(1, "a b c d e")])
+    words = bloom_words(ev, n=3, m_bits=1 << 10, k_hashes=2)
+    stripped = words.filter(F.col("word_idx") >= 0)  # the "natural cleanup"
+    with pytest.raises(ValueError, match="sentinel"):
+        bloom_decontaminate(
+            _docs(spark, [(2, "a b c")]), stripped, n=3, m_bits=1 << 10, k_hashes=2
+        )
+
+
+def test_bpe_train_rejects_nonpositive_min_freq(spark):
+    from kgspark.ops.bpe import bpe_train
+
+    wf = spark.createDataFrame([("ab", 3), ("abc", 2)], "word string, freq bigint")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="min_freq"):
+            bpe_train(wf, num_merges=5, min_freq=bad)
+
+
+def test_kmeans_scale_validation(spark):
+    from kgspark.ops.kmeans import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="scale"):
+        kmeans_assign(emb, k=1, scale=0)
+
+
+def test_semdedup_overflow_guard(spark):
+    # vectors of norm ~3000 at scale 1000 push 10^6 * dot^2 past 2^63:
+    # Spark's non-ANSI long arithmetic would wrap silently, so the op
+    # must refuse loudly instead of emitting garbage pairs.
+    from kgspark.ops.kmeans import semdedup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [3000.0, float(i)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        semdedup_pairs(emb, k=1, n_iter=0).collect()
+
+
+def test_shard_gates_false_means_disabled(spark, tmp_path):
+    from kgspark.ops.curation import build_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog again", "en")
+         for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    base = build_training_shards(
+        spark, docs, str(tmp_path / "a"), lang=None, min_quality=0.0, gates={}
+    )
+    disabled = build_training_shards(
+        spark,
+        docs,
+        str(tmp_path / "b"),
+        lang=None,
+        min_quality=0.0,
+        gates={"line_dedup": False, "gopher": False, "blocklist": None},
+    )
+    # explicitly-disabled gates must behave exactly like absent ones:
+    # same survivor counts, no per-gate stats rows
+    assert disabled == base
+    assert "after_line_dedup" not in disabled and "after_gopher" not in disabled
+
+
+def test_mp4_stsz_stco_box_bounds():
+    from kgspark.ops import mp4
+
+    ones = np.ones(64, dtype=np.int64)
+    h, w = 24, 16
+    frames = [
+        np.full((h, w, 3), 40 * i % 256, dtype=np.uint8) for i in range(3)
+    ]
+    raw = mp4.encode_mjpeg_mp4(frames, luma_q=ones, chroma_q=ones)
+
+    # stsz declaring more entries than its box holds (but fewer than the
+    # file) must fail as a table error, not read the next boxes' bytes
+    idx = raw.index(b"stsz")
+    bombed = bytearray(raw)
+    bombed[idx + 12 : idx + 16] = (1000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stsz overruns its box"):
+        mp4.extract_video_samples(bytes(bombed))
+
+    idx = raw.index(b"stco")
+    bombed = bytearray(raw)
+    bombed[idx + 8 : idx + 12] = (1000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stco overruns its box"):
+        mp4.extract_video_samples(bytes(bombed))
+
+
+def test_mp4_gate_checks_extracted_track_codec(monkeypatch):
+    # Multi-track scenario: metadata's first video track says MJPEG but
+    # the track the extractor actually selects carries inter-coded
+    # samples — the gate must refuse instead of feeding them to the JPEG
+    # decoder (misleading malformed-JPEG ValueError).
+    from kgspark.ops import mp4
+
+    ones = np.ones(64, dtype=np.int64)
+    frames = [np.zeros((24, 16, 3), dtype=np.uint8) for _ in range(2)]
+    raw = mp4.encode_mjpeg_mp4(frames, codec="avc1", luma_q=ones, chroma_q=ones)
+    real_meta = mp4.parse_mp4_meta(raw)
+    fake = dict(real_meta)
+    fake["tracks"] = [
+        dict(t, codec="jpeg") if t["kind"] == "video" else t
+        for t in real_meta["tracks"]
+    ]
+    monkeypatch.setattr(mp4, "parse_mp4_meta", lambda d: fake)
+    with pytest.raises(NotImplementedError, match="sample-bearing"):
+        mp4.decode_mp4_frames(raw)
