@@ -1719,6 +1719,54 @@ LEFT JOIN per_doc p USING (doc_id)
 _DSIR_SCORES_SQL = _dsir_scores_sql()
 
 
+def _weighted_sample_docs(spark, sf):
+    """A-ES weighted sampling (ops/sample.weighted_sample_keys /
+    weighted_sample_per_group): per-language top-20 proportional to
+    n_chars. Deterministic md5-derived u, integer-micronat ln(u)/w keys
+    (one engine-local ln per row, pinned by round) — the oracle replays
+    keys, ranks, and the sampled set exactly."""
+    from kgspark.ops.sample import weighted_sample_per_group
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample_per_group(
+        d, "lang", "n_chars", "doc_id", k=20
+    )
+    return out.select(
+        "doc_id", "lang", "wsample_key", F.col("is_sampled").cast("int").alias("is_sampled")
+    )
+
+
+def _weighted_sample_sql(k: int = 20) -> str:
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(n_chars AS DOUBLE) > 0 THEN
+           CAST(round(ln((CAST(({expansion}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+                      / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+         END AS wsample_key
+  FROM (SELECT doc_id, lang, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR) || '|wsample-v1'), 1, 15) AS h
+        FROM documents)
+),
+ranked AS (
+  SELECT doc_id, lang, wsample_key,
+         row_number() OVER (PARTITION BY lang ORDER BY wsample_key DESC NULLS LAST, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, wsample_key,
+       CASE WHEN rn <= {k} AND wsample_key IS NOT NULL THEN 1 ELSE 0 END AS is_sampled
+FROM ranked
+"""
+
+
+_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 def _resample_temperature_docs(spark, sf):
     """Temperature-based domain rebalancing (ops/curation.
     resample_temperature): a skewed synthetic grouping (60/30/10% of
@@ -4709,6 +4757,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     r02 list (never driver-checked until then) ---
         "bloom_decontam_docs": _bloom_decontam_docs,
         "dsir_scores_docs": _dsir_scores_docs,
+        "weighted_sample_docs": _weighted_sample_docs,
     }
 
 
@@ -4775,6 +4824,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "bloom_decontam_docs": _BLOOM_DECONTAM_SQL,
         "dsir_scores_docs": _DSIR_SCORES_SQL,
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -61,3 +61,79 @@ def stratified_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Efraimidis-Spirakis (2006) A-ES keys for weighted sampling WITHOUT
+    replacement: taking the top-k rows by ``wsample_key`` is an exact
+    weighted sample — each row's inclusion probability is proportional to
+    its weight, with no sequential state (the reservoir paper's insight:
+    key u^(1/w) with u ~ U(0,1) order-statistics out the sample).
+
+    Deterministic, never ``rand()``: u derives from
+    ``md5(id || '|' || salt)`` (rerun/partitioning-stable, redrawable via
+    salt). Ranked in the log domain — maximizing u^(1/w) is maximizing
+    ln(u)/w — as integer micronats (``round(1e6 * ln(u)/w)``; one
+    engine-local ln of an identical double per row, the unigram_logprob
+    pinning discipline), so ordering and the DuckDB oracle replay are
+    exact. Ties (same micronat key) break by id downstream.
+
+    Returns the input plus ``wsample_key`` (bigint, HIGHER = more likely
+    selected). Rows with NULL or non-positive weight get a NULL key —
+    filter or assert upstream; silently ranking them would be a
+    correctness trap. Narrow projection: no shuffle, no join — the top-k
+    itself is the caller's (global ``orderBy(desc).limit(k)`` for
+    driver-scale k, or ``weighted_sample_per_group`` below).
+
+    100 TB note: selection pressure concentrates where weights do, but
+    the KEY assignment is embarrassingly parallel; the only shuffle in
+    the end-to-end sample is the top-k (TakeOrdered for global k,
+    rank-truncated window per group) — same class as stratified_sample.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0, 1), exactly representable the same way in every engine:
+    # (k + 0.5) / 1e6 for integer k in [0, 1e6)
+    u = (F.pmod(h, F.lit(_DENOM)).cast("double") + F.lit(0.5)) / F.lit(
+        float(_DENOM)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w * F.lit(1_000_000.0)).cast("bigint")
+    return df.withColumn(
+        "wsample_key", F.when(w > 0, key).otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Top-k A-ES weighted sample within each group (per-domain/per-lang
+    quota filling proportional to quality weights). One window on the
+    group key, rank-truncated; rows with non-positive weight are excluded
+    (NULL keys sort last and are filtered). Returns the input plus
+    ``wsample_key`` and ``is_sampled``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keyed = weighted_sample_keys(df, weight_col, id_col, salt=salt)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("wsample_key").desc_nulls_last(), F.col(id_col)
+    )
+    return keyed.withColumn(
+        "is_sampled",
+        (F.row_number().over(win) <= k) & F.col("wsample_key").isNotNull(),
+    )

@@ -126,3 +126,83 @@ def test_mp4_gate_checks_extracted_track_codec(monkeypatch):
     monkeypatch.setattr(mp4, "parse_mp4_meta", lambda d: fake)
     with pytest.raises(NotImplementedError, match="sample-bearing"):
         mp4.decode_mp4_frames(raw)
+
+
+# --- A-ES weighted sampling ---------------------------------------------
+
+
+def test_weighted_sample_matches_local_replay(spark):
+    """Engine-portability: the Spark keys equal a pure-Python replay of
+    the same md5 -> u -> round(1e6 * ln(u)/w) pipeline, so the DuckDB
+    oracle (same formula) is exact by construction."""
+    import hashlib
+    import math
+
+    from kgspark.ops.sample import weighted_sample_keys
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]: r["wsample_key"]
+        for r in weighted_sample_keys(df, "w", "doc_id").collect()
+    }
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}|wsample-v1".encode()).hexdigest()[:15], 16)
+        u = ((h % 1_000_000) + 0.5) / 1_000_000.0
+        want = int(round(math.log(u) / w * 1_000_000.0))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.sample import weighted_sample_keys
+
+    # weights 1 vs 100: the top quartile by key must be dominated by
+    # heavy rows (inclusion probability ~ weight)
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    top = (
+        weighted_sample_keys(df, "w", "doc_id")
+        .orderBy(F.col("wsample_key").desc(), "doc_id")
+        .limit(100)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r["w"] == 100.0)
+    assert heavy >= 85, heavy
+
+
+def test_weighted_sample_null_and_nonpositive_weights(spark):
+    from kgspark.ops.sample import weighted_sample_keys, weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 0.0, "a"), (3, -1.0, "a"), (4, None, "a")],
+        "doc_id long, w double, g string",
+    )
+    keyed = {r["doc_id"]: r["wsample_key"] for r in weighted_sample_keys(df, "w", "doc_id").collect()}
+    assert keyed[1] is not None
+    assert keyed[2] is None and keyed[3] is None and keyed[4] is None
+    out = weighted_sample_per_group(df, "g", "w", "doc_id", k=3)
+    picked = {r["doc_id"] for r in out.collect() if r["is_sampled"]}
+    assert picked == {1}  # only the positive-weight row is ever sampled
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    from kgspark.ops.sample import weighted_sample_per_group
+
+    rows = [(i, float(1 + i % 5), f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, w double, g string")
+    a = weighted_sample_per_group(df, "g", "w", "doc_id", k=7)
+    counts = (
+        a.filter("is_sampled").groupBy("g").count().collect()
+    )
+    assert {r["g"]: r["count"] for r in counts} == {"g0": 7, "g1": 7, "g2": 7}
+    b = weighted_sample_per_group(df.repartition(11), "g", "w", "doc_id", k=7)
+    assert sorted(
+        map(tuple, a.filter("is_sampled").select("doc_id").collect())
+    ) == sorted(map(tuple, b.filter("is_sampled").select("doc_id").collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample_per_group(df, "g", "w", "doc_id", k=0)
