@@ -46,8 +46,11 @@ def main() -> None:
             return 0, 0
 
     load_at_start = os.getloadavg()  # co-tenant load BEFORE we add our own
-    steal0, jiff0 = cpu_jiffies()
     spark = get_spark("kgspark-bench", cpus=cpus)
+    # sample steal from AFTER session startup: averaging over the ~40 s of
+    # mostly-idle JVM/py4j boot would dilute the burst steal that actually
+    # stalls the 32-wide stage barriers during the timed section
+    steal0, jiff0 = cpu_jiffies()
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
