@@ -1767,6 +1767,80 @@ FROM ranked
 _WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+def _stupid_backoff_docs(spark, sf):
+    """Stupid Backoff bigram LM scoring (textstats.stupid_backoff_logprob):
+    val split as the model, train split scored — so the backoff branch
+    (bigram missing from the model) actually fires, unknown terms hit the
+    unseen-token floor, and the alpha path is exercised end to end.
+    Integer millinats throughout (Brants et al. 2007); the oracle replays
+    counts, the backoff CASE, and the fixed-point sums exactly."""
+    from kgspark.ops.curation import split_assign
+    from kgspark.ops.textstats import stupid_backoff_logprob
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = d.withColumn("split", split_assign(F.col("doc_id")))
+    model = d.filter(F.col("split") == "val").select("doc_id", "text")
+    corpus = d.filter(F.col("split") != "val").select("doc_id", "text")
+    return stupid_backoff_logprob(corpus, model_docs=model)
+
+
+def _stupid_backoff_sql(alpha_milli: int = 400) -> str:
+    import math
+
+    digits = "0123456789abcdef"
+    split_expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    ln_alpha = int(round(math.log(alpha_milli / 1000.0) * 1000))
+    return f"""
+WITH spl AS (
+  SELECT doc_id, ({split_expansion}) % 100 AS bucket
+  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 15) AS h
+        FROM documents WHERE text IS NOT NULL)
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+rws_all AS (
+  SELECT doc_id, i AS pos, t[i] AS term, CASE WHEN i > 1 THEN t[i - 1] END AS prev
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+),
+mrows AS (SELECT r.* FROM rws_all r JOIN spl USING (doc_id) WHERE bucket < 5),
+rws AS (SELECT r.* FROM rws_all r JOIN spl USING (doc_id) WHERE bucket >= 5),
+uni AS (SELECT term, count(*) AS cu FROM mrows GROUP BY term),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS c FROM uni),
+big AS (
+  SELECT prev, term, count(*) AS cb FROM mrows WHERE prev IS NOT NULL GROUP BY prev, term
+),
+per AS (
+  SELECT r.doc_id,
+         CASE WHEN r.pos = 1 THEN CAST(round(ln(COALESCE(u.cu, 1)) * 1000) AS BIGINT)
+              WHEN b.cb IS NOT NULL THEN CAST(round(ln(b.cb) * 1000) AS BIGINT)
+                                         - CAST(round(ln(up.cu) * 1000) AS BIGINT)
+              ELSE {ln_alpha} + CAST(round(ln(COALESCE(u.cu, 1)) * 1000) AS BIGINT) END AS s,
+         CASE WHEN r.pos = 1 OR b.cb IS NULL THEN 1 ELSE 0 END AS needs_c,
+         CASE WHEN r.pos > 1 AND b.cb IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM rws r
+  LEFT JOIN uni u ON u.term = r.term
+  LEFT JOIN uni up ON up.term = r.prev
+  LEFT JOIN big b ON b.prev = r.prev AND b.term = r.term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(backoff) AS BIGINT) AS backoff_tokens,
+       CAST(sum(s) - sum(needs_c) * (SELECT CAST(round(ln(c) * 1000) AS BIGINT) FROM tot)
+            AS BIGINT) AS logprob_millinat
+FROM per GROUP BY doc_id
+"""
+
+
+_STUPID_BACKOFF_SQL = _stupid_backoff_sql()
+
+
 def _resample_temperature_docs(spark, sf):
     """Temperature-based domain rebalancing (ops/curation.
     resample_temperature): a skewed synthetic grouping (60/30/10% of
@@ -4758,6 +4832,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam_docs": _bloom_decontam_docs,
         "dsir_scores_docs": _dsir_scores_docs,
         "weighted_sample_docs": _weighted_sample_docs,
+        "stupid_backoff_docs": _stupid_backoff_docs,
     }
 
 
@@ -4825,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam_docs": _BLOOM_DECONTAM_SQL,
         "dsir_scores_docs": _DSIR_SCORES_SQL,
         "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+        "stupid_backoff_docs": _STUPID_BACKOFF_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -667,3 +667,124 @@ def encoding_quality(
     return out.withColumn("mojibake_ppm", ppm).withColumn(
         "flag_encoding_bad", (F.col("mojibake_ppm") >= flag_ppm).cast("int")
     )
+
+
+def stupid_backoff_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_milli: int = 400,
+    model_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") with the corpus itself as
+    the model — the backoff scheme BUILT for distributed trillion-token
+    counts: no discounting, no normalization pass, score(w|v) =
+    count(v,w)/count(v) when the bigram exists, else alpha *
+    count(w)/C. Sharper than ``unigram_logprob`` at separating fluent
+    prose from shuffled-word spam (which keeps unigram frequencies but
+    destroys bigrams) while needing only two count tables.
+
+    Returns ``(id, n_tokens, backoff_tokens, logprob_millinat)`` for
+    documents with at least one non-empty token: the first token scores
+    as a unigram, subsequent tokens as bigram-or-backoff;
+    ``backoff_tokens`` (how often the bigram was missing) is the audit
+    column. All integer millinats end to end (one engine-local
+    ``round(1000*ln(count))`` per distinct count — the unigram_logprob
+    discipline; the alpha constant is a pre-rounded integer literal), so
+    sums are partition-order-exact and the DuckDB oracle replays them
+    bit-for-bit.
+
+    Shuffle shape (the Brants construction): token and bigram counts are
+    map-side-combinable aggregates; scoring joins the (id, pos, term,
+    prev) rows against the two count tables on their term keys — shuffle
+    hash joins at corpus-token scale, the same class as
+    ``unigram_logprob``'s single join. No Python anywhere.
+    """
+    if not 1 <= alpha_milli <= 1000:
+        raise ValueError(f"alpha_milli must be in [1, 1000], got {alpha_milli}")
+    import math
+
+    ln_alpha_milli = int(round(math.log(alpha_milli / 1000.0) * 1000))
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+
+    def token_rows(src: DataFrame) -> DataFrame:
+        return (
+            src.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("_t"))
+            .filter(F.size("_t") >= 1)
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t")),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.element_at("_t", i).alias("term"),
+                            F.when(i > 1, F.element_at("_t", i - 1)).alias("prev"),
+                        ),
+                    )
+                ).alias("_r"),
+            )
+            .select(id_col, "_r.pos", "_r.term", "_r.prev")
+        )
+
+    rows = token_rows(docs)
+    # counts come from ``model_docs`` when given (e.g. a held-out or
+    # reference corpus) — scoring a corpus against its OWN counts never
+    # exercises the backoff branch, since every observed bigram is in the
+    # model by construction. Unknown scored terms (no model unigram) fall
+    # back to count 1 (the unseen-token floor), keeping ln() defined.
+    model_rows = rows if model_docs is None else token_rows(model_docs)
+    uni = model_rows.groupBy("term").agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_C"))
+    big = (
+        model_rows.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+
+    def r1000(c):
+        return F.round(F.log(c) * 1000).cast("bigint")
+
+    uni_prev = uni.select(
+        F.col("term").alias("prev"), F.col("_cu").alias("_cprev")
+    )
+    scored = (
+        rows.join(uni, "term", "left")
+        .withColumn("_cu", F.coalesce("_cu", F.lit(1)))
+        .join(uni_prev, "prev", "left")
+        .join(big, ["prev", "term"], "left")
+    )
+    # millinat score per token: unigram for pos 1, bigram when present,
+    # alpha-backoff to unigram otherwise. ln(C) is applied per unigram-
+    # scored token at the end (single broadcast scalar).
+    is_uni = F.col("pos") == 1
+    has_bi = F.col("_cb").isNotNull()
+    per_token = scored.select(
+        F.col(id_col),
+        F.when(is_uni, r1000(F.col("_cu")))
+        .when(has_bi, r1000(F.col("_cb")) - r1000(F.col("_cprev")))
+        .otherwise(F.lit(ln_alpha_milli) + r1000(F.col("_cu")))
+        .alias("_s"),
+        # tokens whose score still needs the -ln(C) normalizer
+        F.when(is_uni | ~has_bi, F.lit(1)).otherwise(F.lit(0)).alias("_needs_c"),
+        F.when(~is_uni & ~has_bi, F.lit(1)).otherwise(F.lit(0)).alias("_backoff"),
+    )
+    agg = per_token.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_s").alias("_ssum"),
+        F.sum("_needs_c").alias("_nc"),
+        F.sum("_backoff").alias("backoff_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("backoff_tokens").cast("long").alias("backoff_tokens"),
+        (F.col("_ssum") - F.col("_nc") * r1000(F.col("_C")))
+        .cast("long")
+        .alias("logprob_millinat"),
+    )

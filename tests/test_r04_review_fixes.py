@@ -206,3 +206,91 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample_per_group(df, "g", "w", "doc_id", k=0)
+
+
+# --- Stupid Backoff LM -----------------------------------------------------
+
+
+def test_stupid_backoff_bigram_beats_shuffled(spark):
+    """The bigram term separates fluent word order from shuffled words
+    with identical unigram counts — exactly what unigram_logprob cannot
+    see."""
+    from kgspark.ops.textstats import stupid_backoff_logprob
+
+    model = _docs(
+        spark, [(100 + i, "the cat sat on the mat") for i in range(5)]
+    )
+    scored = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),  # model word order
+            (2, "mat the on sat cat the"),  # same unigrams, shuffled
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["logprob_millinat"], r["backoff_tokens"])
+        for r in stupid_backoff_logprob(scored, model_docs=model).collect()
+    }
+    assert out[1][0] > out[2][0]
+    assert out[1][1] == 0  # every fluent bigram is in the model
+    assert out[2][1] > 0  # shuffled order must back off
+
+
+def test_stupid_backoff_self_model_and_exact_replay(spark):
+    """Against its own corpus as model (default), no bigram ever backs
+    off, and the millinat sums equal a brute Python replay."""
+    import math
+
+    from kgspark.ops.textstats import stupid_backoff_logprob
+
+    texts = {1: "a b a b c", 2: "c a", 3: "b"}
+    docs = _docs(spark, list(texts.items()))
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["backoff_tokens"], r["logprob_millinat"])
+        for r in stupid_backoff_logprob(docs).collect()
+    }
+    toks = {i: t.split() for i, t in texts.items()}
+    uni: dict = {}
+    big: dict = {}
+    for t in toks.values():
+        for x in t:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    C = sum(uni.values())
+    r1000 = lambda x: int(round(math.log(x) * 1000))
+    for i, t in toks.items():
+        s = r1000(uni[t[0]]) - r1000(C)
+        backoffs = 0
+        for a, b in zip(t, t[1:]):
+            assert (a, b) in big  # self-model: bigram always present
+            s += r1000(big[(a, b)]) - r1000(uni[a])
+        assert out[i] == (len(t), backoffs, s), (i, out[i])
+
+
+def test_stupid_backoff_unseen_terms_and_validation(spark):
+    from kgspark.ops.textstats import stupid_backoff_logprob
+
+    model = _docs(spark, [(10, "x y z")])
+    scored = _docs(spark, [(1, "qq ww")])  # nothing in the model
+    r = stupid_backoff_logprob(scored, model_docs=model).collect()[0]
+    # both tokens hit the unseen floor (count 1): finite, counted, scored
+    assert r["n_tokens"] == 2 and r["backoff_tokens"] == 1
+    assert r["logprob_millinat"] is not None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha_milli"):
+        stupid_backoff_logprob(scored, alpha_milli=0)
+
+
+def test_stupid_backoff_partitioning_invariant(spark):
+    from kgspark.ops.textstats import stupid_backoff_logprob
+
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 5} tok{(i + 2) % 5} tok{(i + 1) % 7} end") for i in range(40)],
+    )
+    a = stupid_backoff_logprob(docs).collect()
+    b = stupid_backoff_logprob(docs.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
