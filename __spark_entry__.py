@@ -1841,6 +1841,45 @@ FROM per GROUP BY doc_id
 _STUPID_BACKOFF_SQL = _stupid_backoff_sql()
 
 
+def _readability_docs(spark, sf):
+    """Flesch readability counts (textstats.readability_stats): exact
+    integer word/sentence/vowel-group/silent-e counts over the
+    whitespace-normalized form (the form both regex engines agree on —
+    no lookahead, no newline-$ ambiguity), one pinned float expression
+    for the milli-score."""
+    from kgspark.ops.textstats import readability_stats
+
+    return readability_stats(_t(spark, sf, "documents"))
+
+
+_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN 0
+              ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_words,
+         greatest(CAST(len(regexp_extract_all(norm, '[.!?]+')) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS n_sentences,
+         CAST(len(regexp_extract_all(norm, '[aeiouy]+')) AS BIGINT) AS vg,
+         CAST(len(regexp_extract_all(norm, '[b-df-km-np-tv-z]e( |$)')) AS BIGINT) AS se
+  FROM base
+)
+SELECT doc_id, n_words, n_sentences,
+       greatest(vg - se, n_words) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(round((206.835
+                     - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                     - 84.6 * CAST(greatest(vg - se, n_words) AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) * 1000) AS BIGINT)
+       END AS flesch_milli
+FROM counts
+"""
+
+
 def _resample_temperature_docs(spark, sf):
     """Temperature-based domain rebalancing (ops/curation.
     resample_temperature): a skewed synthetic grouping (60/30/10% of
@@ -4833,6 +4872,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores_docs": _dsir_scores_docs,
         "weighted_sample_docs": _weighted_sample_docs,
         "stupid_backoff_docs": _stupid_backoff_docs,
+        "readability_docs": _readability_docs,
     }
 
 
@@ -4901,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores_docs": _DSIR_SCORES_SQL,
         "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "stupid_backoff_docs": _STUPID_BACKOFF_SQL,
+        "readability_docs": _READABILITY_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -788,3 +788,59 @@ def stupid_backoff_logprob(
         .cast("long")
         .alias("logprob_millinat"),
     )
+
+
+def readability_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Classic readability counts + Flesch reading-ease in integer
+    milli-units — the cheap educational-quality proxy (the signal
+    FineWeb-Edu-style classifiers learn sits heavily on sentence and word
+    length): ``n_words`` (whitespace tokens), ``n_sentences``
+    (``[.!?]`` runs, floor 1), ``n_syllables`` (vowel-group count with
+    the silent-e heuristic, floor 1 per word), and ``flesch_milli`` =
+    ``round(1000 * (206.835 - 1.015*W/S - 84.6*Syl/W))``.
+
+    Determinism discipline: the three counts are exact integers from
+    ``regexp_count`` / ``size`` (pure JVM, narrow projection, no
+    shuffle); the single float expression at the end is one
+    multiply-divide chain rounded once to milli-units — the
+    resample_temperature pinning pattern, replayed by the DuckDB oracle.
+    Syllables use the standard heuristic (count ``[aeiouy]+`` groups,
+    subtract word-final silent ``e``), which is what every Flesch
+    implementation ships; the score ranks documents, it does not claim
+    linguistics.
+    """
+    # every count runs over the whitespace-NORMALIZED lowercased form: no
+    # newlines means '$' agrees between Java regex and RE2 (Java '$' also
+    # matches before a trailing line terminator), and a literal-space
+    # alternation replaces lookahead, which RE2 does not support at all
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast(
+        "long"
+    )
+    n_sentences = F.greatest(
+        F.regexp_count(norm, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    vowel_groups = F.regexp_count(norm, F.lit(r"[aeiouy]+")).cast("long")
+    # silent-e: a word-final 'e' that follows a consonant ('le' endings
+    # keep their syllable: "table" -> ta-ble). Consuming ( |$) is safe for
+    # counting: the next match starts at its own consonant, never at the
+    # consumed space.
+    silent_e = F.regexp_count(norm, F.lit(r"[b-df-km-np-tv-z]e( |$)")).cast("long")
+    n_syllables = F.greatest(vowel_groups - silent_e, n_words)
+    flesch = F.round(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * n_words.cast("double") / n_sentences.cast("double")
+            - F.lit(84.6) * n_syllables.cast("double") / n_words.cast("double")
+        )
+        * 1000
+    ).cast("bigint")
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch_milli"),
+    )

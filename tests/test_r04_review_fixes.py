@@ -294,3 +294,61 @@ def test_stupid_backoff_partitioning_invariant(spark):
     a = stupid_backoff_logprob(docs).collect()
     b = stupid_backoff_logprob(docs.repartition(13)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- readability ---------------------------------------------------------
+
+
+def test_readability_hand_counted(spark):
+    from kgspark.ops.textstats import readability_stats
+
+    docs = _docs(
+        spark,
+        [
+            # words=5, sentences=2 ('.'+'!'), vowel groups: see below
+            (1, "The cat sat. On a mat!"),
+            (2, ""),  # empty: 0 words, NULL score
+            (3, None),  # NULL text: excluded entirely
+        ],
+    )
+    out = {r["doc_id"]: r for r in readability_stats(docs).collect()}
+    r = out[1]
+    # norm = "the cat sat. on a mat!": words=6, sentence runs '.' and '!' = 2
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    # vowel groups: e,a,a,o,a,a = 6; silent-e: "the " ('he( |$)') = 1 -> 5,
+    # floored to n_words=6
+    assert r["n_syllables"] == 6
+    import math
+
+    want = int(round((206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6) * 1000))
+    assert r["flesch_milli"] == want
+    assert out[2]["n_words"] == 0 and out[2]["flesch_milli"] is None
+    assert 3 not in out
+
+
+def test_readability_ranks_simple_above_dense(spark):
+    from kgspark.ops.textstats import readability_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "The dog ran. The cat sat. It was fun."),  # short sentences
+            (2, "Notwithstanding institutional heterogeneity considerations, "
+                "organizational interoperability necessitates comprehensive "
+                "standardization infrastructure."),
+        ],
+    )
+    got = {r["doc_id"]: r["flesch_milli"] for r in readability_stats(docs).collect()}
+    assert got[1] > got[2]
+
+
+def test_readability_partitioning_invariant(spark):
+    from kgspark.ops.textstats import readability_stats
+
+    docs = _docs(
+        spark,
+        [(i, f"sentence number {i}. it has words! maybe more?") for i in range(40)],
+    )
+    a = sorted(map(tuple, readability_stats(docs).collect()))
+    b = sorted(map(tuple, readability_stats(docs.repartition(9)).collect()))
+    assert a == b
