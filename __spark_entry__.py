@@ -1841,6 +1841,58 @@ FROM per GROUP BY doc_id
 _STUPID_BACKOFF_SQL = _stupid_backoff_sql()
 
 
+def _leakage_safe_split_docs(spark, sf):
+    """Cluster-keyed train/val/test split (curation.leakage_safe_split)
+    over the portable minhash clusters: near-duplicates can never
+    straddle a split boundary. The oracle is the full portable-minhash
+    replay (sigs -> banding -> pairs -> agreement -> recursive-CTE CC)
+    with the split_assign bucket math applied to the CLUSTER key."""
+    from kgspark.ops.curation import leakage_safe_split
+
+    clusters = _minhash_dedup_portable(spark, sf)
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    return leakage_safe_split(docs, clusters).select("doc_id", "cluster", "split")
+
+
+def _leakage_safe_split_sql() -> str:
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(sh, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    old_tail = """SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
+    new_tail = f"""SELECT doc_id, cluster,
+       CASE WHEN bucket < 5 THEN 'val'
+            WHEN bucket < 10 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, cluster, ({expansion}) % 100 AS bucket
+  FROM (
+    SELECT doc_id, cluster,
+           substr(md5(CAST(cluster AS VARCHAR) || '|split-v1'), 1, 15) AS sh
+    FROM (
+      SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
+      LEFT JOIN comp c ON c.id = d.doc_id
+    )
+  )
+)
+"""
+    assert old_tail in _MINHASH_DEDUP_PORTABLE_SQL
+    return _MINHASH_DEDUP_PORTABLE_SQL.replace(old_tail, new_tail)
+
+
+# (_LEAKAGE_SAFE_SPLIT_SQL is assigned after _MINHASH_DEDUP_PORTABLE_SQL
+# is defined, further down — the builder composes that SQL's text.)
+
+
 def _readability_docs(spark, sf):
     """Flesch readability counts (textstats.readability_stats): exact
     integer word/sentence/vowel-group/silent-e counts over the
@@ -2008,6 +2060,9 @@ SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
 FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) d
 LEFT JOIN comp c ON c.id = d.doc_id
 """
+
+
+_LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
 
 
 def _minhash_incremental_portable(spark, sf):
@@ -4873,6 +4928,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _weighted_sample_docs,
         "stupid_backoff_docs": _stupid_backoff_docs,
         "readability_docs": _readability_docs,
+        "leakage_safe_split_docs": _leakage_safe_split_docs,
     }
 
 
@@ -4942,6 +4998,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "stupid_backoff_docs": _STUPID_BACKOFF_SQL,
         "readability_docs": _READABILITY_SQL,
+        "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -1081,3 +1081,48 @@ def dsir_scores(
         .otherwise(raw_sum + n_f * F.lit(const_milli))
         .cast("long"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    salt: str = "split-v1",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment keyed by DEDUP CLUSTER instead of
+    document id — the leakage-safe split: near-duplicate documents land
+    on the SAME side by construction, so a template page crawled twice
+    can never sit in train while its twin sits in val (the classic
+    eval-inflation trap a per-document ``split_assign`` cannot prevent —
+    exact dedup upstream catches byte-duplicates, but near-dups survive
+    it by definition).
+
+    ``clusters`` is any (id, cluster) table — ``ops.dedup.minhash_dedup``
+    cluster labels, SemDeDup components, or CC over any similarity edge
+    list. Documents missing from ``clusters`` fall back to their own id
+    as a singleton cluster (left join + coalesce), so the operator is
+    safe to run over a partially-clustered corpus. The bucket math is
+    ``split_assign`` verbatim on the cluster key — same portability, same
+    never-migrates stability (a cluster only changes split if the salt
+    changes; note that GROWING a cluster across reruns can legitimately
+    move its members to the representative's split — that direction is
+    leakage-safe).
+
+    Shuffle shape: one equi-join on the id key (AQE broadcasts the
+    cluster table when it is small — it is at most corpus-cardinality,
+    usually much smaller after dedup) and a narrow projection. Returns
+    the input plus ``cluster`` and ``split``.
+    """
+    c = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("_lss_cluster")
+    )
+    joined = docs.join(c, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("_lss_cluster"), F.col(id_col).cast("long"))
+    )
+    return joined.drop("_lss_cluster").withColumn(
+        "split",
+        split_assign(F.col("cluster"), salt=salt, val_pct=val_pct, test_pct=test_pct),
+    )

@@ -352,3 +352,55 @@ def test_readability_partitioning_invariant(spark):
     a = sorted(map(tuple, readability_stats(docs).collect()))
     b = sorted(map(tuple, readability_stats(docs.repartition(9)).collect()))
     assert a == b
+
+
+# --- leakage-safe split --------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from kgspark.ops.curation import leakage_safe_split, split_assign
+
+    # 200 docs in 40 clusters of 5; cluster-keyed split must never
+    # straddle, while the naive per-doc split demonstrably does
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(i, i // 5 * 1000) for i in range(200)], "doc_id long, cluster long"
+    )
+    out = leakage_safe_split(docs, clusters).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    naive = docs.select("doc_id", split_assign(F.col("doc_id")).alias("split")).collect()
+    naive_by_cluster: dict = {}
+    for r in naive:
+        naive_by_cluster.setdefault(r["doc_id"] // 5, set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_by_cluster.values())  # the trap is real
+
+
+def test_leakage_safe_split_singleton_fallback_and_determinism(spark):
+    from kgspark.ops.curation import leakage_safe_split, split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    # only half the corpus is clustered
+    clusters = spark.createDataFrame(
+        [(i, 7777) for i in range(0, 50, 2)], "doc_id long, cluster long"
+    )
+    out = {r["doc_id"]: (r["cluster"], r["split"]) for r in leakage_safe_split(docs, clusters).collect()}
+    for i in range(50):
+        if i % 2 == 0:
+            assert out[i][0] == 7777
+        else:
+            assert out[i][0] == i  # singleton fallback = own id
+    # unclustered docs match plain split_assign on their own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", split_assign(F.col("doc_id").cast("long")).alias("split")
+        ).collect()
+    }
+    for i in range(1, 50, 2):
+        assert out[i][1] == plain[i]
+    again = {r["doc_id"]: (r["cluster"], r["split"]) for r in leakage_safe_split(docs.repartition(7), clusters).collect()}
+    assert again == out
