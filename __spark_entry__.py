@@ -1743,15 +1743,22 @@ def _weighted_sample_sql(k: int = 20) -> str:
         for j in range(15)
     )
     return f"""
-WITH keyed AS (
+WITH raw AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+         substr(md5(CAST(doc_id AS VARCHAR) || '|wsample-v1'), 1, 15) AS h
+  FROM documents
+),
+wmax AS (
+  SELECT max(CASE WHEN NOT isnan(w) AND w > 0 THEN w END) AS m FROM raw
+),
+keyed AS (
   SELECT doc_id, lang,
-         CASE WHEN CAST(n_chars AS DOUBLE) > 0 THEN
-           CAST(round(ln((CAST(({expansion}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
-                      / CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+         CASE WHEN w IS NOT NULL AND NOT isnan(w) AND w > 0 THEN
+           CAST(round(ln((CAST(({expansion}) % 1000000000000 AS DOUBLE) + 0.5)
+                         / 1000000000000.0)
+                      / (w / (SELECT m FROM wmax)) * 1000000000.0) AS BIGINT)
          END AS wsample_key
-  FROM (SELECT doc_id, lang, n_chars,
-               substr(md5(CAST(doc_id AS VARCHAR) || '|wsample-v1'), 1, 15) AS h
-        FROM documents)
+  FROM raw
 ),
 ranked AS (
   SELECT doc_id, lang, wsample_key,
@@ -1855,7 +1862,11 @@ def _leakage_safe_split_docs(spark, sf):
         .filter(F.col("text").isNotNull())
         .select("doc_id")
     )
-    return leakage_safe_split(docs, clusters).select("doc_id", "cluster", "split")
+    # the library returns cluster as STRING (mixed-type id safety); ids
+    # here are bigint, so cast back for the BIGINT-typed oracle
+    return leakage_safe_split(docs, clusters).select(
+        "doc_id", F.col("cluster").cast("long").alias("cluster"), "split"
+    )
 
 
 def _leakage_safe_split_sql() -> str:
@@ -1916,16 +1927,20 @@ counts AS (
               ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_words,
          greatest(CAST(len(regexp_extract_all(norm, '[.!?]+')) AS BIGINT),
                   CAST(1 AS BIGINT)) AS n_sentences,
-         CAST(len(regexp_extract_all(norm, '[aeiouy]+')) AS BIGINT) AS vg,
-         CAST(len(regexp_extract_all(norm, '[b-df-km-np-tv-z]e( |$)')) AS BIGINT) AS se
+         CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_sum(list_transform(string_split(norm, ' '),
+                     x -> greatest(
+                            CAST(len(regexp_extract_all(x, '[aeiouy]+')) AS BIGINT)
+                            - CASE WHEN regexp_matches(x, '[b-df-km-np-tv-z]e$')
+                                   THEN 1 ELSE 0 END,
+                            CAST(1 AS BIGINT)))) AS BIGINT) END AS n_syllables
   FROM base
 )
-SELECT doc_id, n_words, n_sentences,
-       greatest(vg - se, n_words) AS n_syllables,
+SELECT doc_id, n_words, n_sentences, n_syllables,
        CASE WHEN n_words > 0 THEN
          CAST(round((206.835
                      - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
-                     - 84.6 * CAST(greatest(vg - se, n_words) AS DOUBLE)
+                     - 84.6 * CAST(n_syllables AS DOUBLE)
                            / CAST(n_words AS DOUBLE)) * 1000) AS BIGINT)
        END AS flesch_milli
 FROM counts

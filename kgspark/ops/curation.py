@@ -1111,6 +1111,13 @@ def leakage_safe_split(
     move its members to the representative's split — that direction is
     leakage-safe).
 
+    The returned ``cluster`` column is STRING — ids and cluster labels
+    may have different types (string URLs vs bigint labels), and a
+    silent ``cast("long")`` fallback would crash on non-numeric ids
+    under ANSI (or NULL them out quietly with ANSI off, dumping every
+    unclustered doc into 'train'). ``split_assign`` hashes the string
+    form anyway, so numeric callers lose nothing and can cast back.
+
     Shuffle shape: one equi-join on the id key (AQE broadcasts the
     cluster table when it is small — it is at most corpus-cardinality,
     usually much smaller after dedup) and a narrow projection. Returns
@@ -1120,7 +1127,10 @@ def leakage_safe_split(
         F.col(id_col), F.col(cluster_col).alias("_lss_cluster")
     )
     joined = docs.join(c, id_col, "left").withColumn(
-        "cluster", F.coalesce(F.col("_lss_cluster"), F.col(id_col).cast("long"))
+        "cluster",
+        F.coalesce(
+            F.col("_lss_cluster").cast("string"), F.col(id_col).cast("string")
+        ),
     )
     return joined.drop("_lss_cluster").withColumn(
         "split",

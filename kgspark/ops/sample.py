@@ -77,18 +77,28 @@ def weighted_sample_keys(
 
     Deterministic, never ``rand()``: u derives from
     ``md5(id || '|' || salt)`` (rerun/partitioning-stable, redrawable via
-    salt). Ranked in the log domain — maximizing u^(1/w) is maximizing
-    ln(u)/w — as integer micronats (``round(1e6 * ln(u)/w)``; one
-    engine-local ln of an identical double per row, the unigram_logprob
-    pinning discipline), so ordering and the DuckDB oracle replay are
-    exact. Ties (same micronat key) break by id downstream.
+    salt; 10^12 distinct values). Ranked in the log domain — maximizing
+    u^(1/w) is maximizing ln(u)/w — with the weight NORMALIZED by the
+    corpus max first: only relative weights matter to the ordering
+    (dividing every w by a constant scales every key by it), and without
+    the normalization a corpus of large weights (book-length n_chars ~
+    10^6) would quantize ln(u)/w down to a handful of distinct integers
+    and degenerate into id-order selection. After normalization the
+    heaviest row spans the full ln(u) range, so the
+    ``round(1e9 * ln(u)/w_norm)`` nanonats keep ~10^10 distinct key
+    values. One engine-local ln of an identical double per row (the
+    unigram_logprob pinning discipline) — the DuckDB oracle replays the
+    ordering exactly. Residual ties break by id downstream.
 
     Returns the input plus ``wsample_key`` (bigint, HIGHER = more likely
-    selected). Rows with NULL or non-positive weight get a NULL key —
-    filter or assert upstream; silently ranking them would be a
-    correctness trap. Narrow projection: no shuffle, no join — the top-k
-    itself is the caller's (global ``orderBy(desc).limit(k)`` for
-    driver-scale k, or ``weighted_sample_per_group`` below).
+    selected). Rows with NULL, NaN, or non-positive weight get a NULL
+    key — filter or assert upstream; silently ranking them would be a
+    correctness trap (NaN comparisons are treacherous: ``NaN > 0`` is
+    true in Spark). Plan shape: the max-weight aggregate is one 1-row
+    broadcast (the resample_temperature pattern — the corpus itself
+    never shuffles); the top-k is the caller's (global
+    ``orderBy(desc).limit(k)`` for driver-scale k, or
+    ``weighted_sample_per_group`` below).
 
     100 TB note: selection pressure concentrates where weights do, but
     the KEY assignment is embarrassingly parallel; the only shuffle in
@@ -103,14 +113,23 @@ def weighted_sample_keys(
         10,
     ).cast("bigint")
     # u in (0, 1), exactly representable the same way in every engine:
-    # (k + 0.5) / 1e6 for integer k in [0, 1e6)
-    u = (F.pmod(h, F.lit(_DENOM)).cast("double") + F.lit(0.5)) / F.lit(
-        float(_DENOM)
-    )
+    # (k + 0.5) / 1e12 for integer k in [0, 1e12)
+    udenom = 1_000_000_000_000
+    u = (F.pmod(h, F.lit(udenom)).cast("double") + F.lit(0.5)) / F.lit(float(udenom))
     w = F.col(weight_col).cast("double")
-    key = F.round(F.log(u) / w * F.lit(1_000_000.0)).cast("bigint")
-    return df.withColumn(
-        "wsample_key", F.when(w > 0, key).otherwise(F.lit(None).cast("bigint"))
+    valid = w.isNotNull() & ~F.isnan(w) & (w > 0)
+    wmax = df.select(
+        F.max(F.when(valid, w)).alias("_wmax")
+    )
+    key = F.round(
+        F.log(u) / (w / F.col("_wmax")) * F.lit(1_000_000_000.0)
+    ).cast("bigint")
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn(
+            "wsample_key", F.when(valid, key).otherwise(F.lit(None).cast("bigint"))
+        )
+        .drop("_wmax")
     )
 
 

@@ -797,8 +797,9 @@ def readability_stats(
     milli-units — the cheap educational-quality proxy (the signal
     FineWeb-Edu-style classifiers learn sits heavily on sentence and word
     length): ``n_words`` (whitespace tokens), ``n_sentences``
-    (``[.!?]`` runs, floor 1), ``n_syllables`` (vowel-group count with
-    the silent-e heuristic, floor 1 per word), and ``flesch_milli`` =
+    (``[.!?]`` runs, floor 1), ``n_syllables`` (per-word vowel-group
+    count with the silent-e heuristic, each word floored at 1), and
+    ``flesch_milli`` =
     ``round(1000 * (206.835 - 1.015*W/S - 84.6*Syl/W))``.
 
     Determinism discipline: the three counts are exact integers from
@@ -822,13 +823,22 @@ def readability_stats(
     n_sentences = F.greatest(
         F.regexp_count(norm, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
     )
-    vowel_groups = F.regexp_count(norm, F.lit(r"[aeiouy]+")).cast("long")
-    # silent-e: a word-final 'e' that follows a consonant ('le' endings
-    # keep their syllable: "table" -> ta-ble). Consuming ( |$) is safe for
-    # counting: the next match starts at its own consonant, never at the
-    # consumed space.
-    silent_e = F.regexp_count(norm, F.lit(r"[b-df-km-np-tv-z]e( |$)")).cast("long")
-    n_syllables = F.greatest(vowel_groups - silent_e, n_words)
+    # syllables PER WORD (floor 1 each — the documented Flesch heuristic):
+    # vowel-group count minus word-final silent-e ('le' endings keep their
+    # syllable: "table" -> ta-ble), floored at 1 so vowel-less tokens
+    # (numbers, acronyms, "tsk") still contribute — a global floor would
+    # let vowel-rich neighbors absorb them and inflate the score for
+    # exactly the noisy documents this proxy should rank lower
+    word_syl = lambda x: F.greatest(
+        F.regexp_count(x, F.lit(r"[aeiouy]+")).cast("long")
+        - x.rlike(r"[b-df-km-np-tv-z]e$").cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syllables = F.when(norm == "", F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.split(norm, " "), F.lit(0).cast("long"), lambda acc, x: acc + word_syl(x)
+        )
+    )
     flesch = F.round(
         (
             F.lit(206.835)

@@ -133,8 +133,8 @@ def test_mp4_gate_checks_extracted_track_codec(monkeypatch):
 
 def test_weighted_sample_matches_local_replay(spark):
     """Engine-portability: the Spark keys equal a pure-Python replay of
-    the same md5 -> u -> round(1e6 * ln(u)/w) pipeline, so the DuckDB
-    oracle (same formula) is exact by construction."""
+    the same md5 -> u -> round(1e9 * ln(u)/(w/w_max)) pipeline, so the
+    DuckDB oracle (same formula) is exact by construction."""
     import hashlib
     import math
 
@@ -146,11 +146,30 @@ def test_weighted_sample_matches_local_replay(spark):
         r["doc_id"]: r["wsample_key"]
         for r in weighted_sample_keys(df, "w", "doc_id").collect()
     }
+    wmax = max(w for _, w in rows)
     for i, w in rows:
         h = int(hashlib.md5(f"{i}|wsample-v1".encode()).hexdigest()[:15], 16)
-        u = ((h % 1_000_000) + 0.5) / 1_000_000.0
-        want = int(round(math.log(u) / w * 1_000_000.0))
+        u = ((h % 1_000_000_000_000) + 0.5) / 1_000_000_000_000.0
+        want = int(round(math.log(u) / (w / wmax) * 1_000_000_000.0))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_weighted_sample_huge_weights_keep_resolution(spark):
+    """Equal weights must yield a uniform (hash-random) sample, not
+    id-order: without max-normalization, weights ~2e6 quantized every
+    key to a handful of integers and top-k degenerated to smallest-ids."""
+    from pyspark.sql import functions as F
+
+    from kgspark.ops.sample import weighted_sample_keys
+
+    df = spark.createDataFrame(
+        [(i, 2_000_000.0) for i in range(1000)], "doc_id long, w double"
+    )
+    keyed = weighted_sample_keys(df, "w", "doc_id")
+    n_distinct = keyed.select("wsample_key").distinct().count()
+    assert n_distinct >= 990, n_distinct
+    top = [r["doc_id"] for r in keyed.orderBy(F.col("wsample_key").desc(), "doc_id").limit(100).collect()]
+    assert max(top) > 200  # not an id-prefix selection
 
 
 def test_weighted_sample_prefers_heavy_rows(spark):
@@ -176,12 +195,15 @@ def test_weighted_sample_null_and_nonpositive_weights(spark):
     from kgspark.ops.sample import weighted_sample_keys, weighted_sample_per_group
 
     df = spark.createDataFrame(
-        [(1, 5.0, "a"), (2, 0.0, "a"), (3, -1.0, "a"), (4, None, "a")],
+        [(1, 5.0, "a"), (2, 0.0, "a"), (3, -1.0, "a"), (4, None, "a"),
+         (5, float("nan"), "a")],
         "doc_id long, w double, g string",
     )
     keyed = {r["doc_id"]: r["wsample_key"] for r in weighted_sample_keys(df, "w", "doc_id").collect()}
     assert keyed[1] is not None
-    assert keyed[2] is None and keyed[3] is None and keyed[4] is None
+    # NaN > 0 is true in Spark — the guard must catch it explicitly, not
+    # crash the cast (ANSI) or rank NaN rows first (non-ANSI)
+    assert keyed[2] is None and keyed[3] is None and keyed[4] is None and keyed[5] is None
     out = weighted_sample_per_group(df, "g", "w", "doc_id", k=3)
     picked = {r["doc_id"] for r in out.collect() if r["is_sampled"]}
     assert picked == {1}  # only the positive-weight row is ever sampled
@@ -390,9 +412,9 @@ def test_leakage_safe_split_singleton_fallback_and_determinism(spark):
     out = {r["doc_id"]: (r["cluster"], r["split"]) for r in leakage_safe_split(docs, clusters).collect()}
     for i in range(50):
         if i % 2 == 0:
-            assert out[i][0] == 7777
+            assert out[i][0] == "7777"  # cluster column is string-typed
         else:
-            assert out[i][0] == i  # singleton fallback = own id
+            assert out[i][0] == str(i)  # singleton fallback = own id
     # unclustered docs match plain split_assign on their own id
     plain = {
         r["doc_id"]: r["split"]
@@ -404,3 +426,33 @@ def test_leakage_safe_split_singleton_fallback_and_determinism(spark):
         assert out[i][1] == plain[i]
     again = {r["doc_id"]: (r["cluster"], r["split"]) for r in leakage_safe_split(docs.repartition(7), clusters).collect()}
     assert again == out
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """String ids (URLs — the natural key in this domain) must work even
+    when some docs lack a cluster row: no long-cast crash under ANSI, no
+    silent NULL-cluster 'train' dumping with ANSI off."""
+    from kgspark.ops.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [("http://a.example/x",), ("http://b.example/y",), ("http://c.example/z",)],
+        "doc_id string",
+    )
+    clusters = spark.createDataFrame(
+        [("http://a.example/x", 42)], "doc_id string, cluster long"
+    )
+    out = {r["doc_id"]: (r["cluster"], r["split"]) for r in leakage_safe_split(docs, clusters).collect()}
+    assert out["http://a.example/x"][0] == "42"
+    assert out["http://b.example/y"][0] == "http://b.example/y"
+    assert all(s in ("train", "val", "test") for _, s in out.values())
+
+
+def test_readability_per_word_syllable_floor(spark):
+    """Vowel-less tokens contribute their floor of 1 instead of being
+    absorbed by vowel-rich neighbors (the per-word contract)."""
+    from kgspark.ops.textstats import readability_stats
+
+    docs = _docs(spark, [(1, "banana tsk")])
+    r = readability_stats(docs).collect()[0]
+    assert r["n_words"] == 2
+    assert r["n_syllables"] == 4  # ba-na-na (3) + tsk floor (1)
