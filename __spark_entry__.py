@@ -1848,6 +1848,47 @@ FROM per GROUP BY doc_id
 _STUPID_BACKOFF_SQL = _stupid_backoff_sql()
 
 
+def _split_sentences_docs(spark, sf):
+    """Rule-based sentence segmentation (textstats.split_sentences):
+    [.!?]+-run boundaries via a backreference sentinel replace (no
+    lookbehind — RE2 has none; each engine spells its own backref), one
+    split + posexplode. The synthetic corpus has NO punctuation, so the
+    query deterministically punctuates first (a period after every
+    'table'/'row' token — each engine's own backref syntax produces the
+    same bytes) — otherwise every doc is one segment and the boundary
+    rule goes untested. The oracle replays punctuation, segmentation,
+    and 0-based sentence ids exactly."""
+    from kgspark.ops.textstats import split_sentences
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"\b(table|row)\b", "$1.").alias("text"),
+    )
+    return split_sentences(d)
+
+
+_SPLIT_SENTENCES_SQL = """
+WITH punct AS (
+  SELECT doc_id, regexp_replace(text, '\\b(table|row)\\b', '\\1.', 'g') AS text
+  FROM documents WHERE text IS NOT NULL
+),
+marked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            '([.!?]+) ', '\\1' || chr(1), 'g'),
+             chr(1)),
+           s -> trim(s) <> '') AS sents
+  FROM punct
+)
+SELECT doc_id,
+       generate_subscripts(sents, 1) - 1 AS sent_id,
+       unnest(sents) AS sentence
+FROM marked
+"""
+
+
 def _leakage_safe_split_docs(spark, sf):
     """Cluster-keyed train/val/test split (curation.leakage_safe_split)
     over the portable minhash clusters: near-duplicates can never
@@ -4944,6 +4985,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_docs": _stupid_backoff_docs,
         "readability_docs": _readability_docs,
         "leakage_safe_split_docs": _leakage_safe_split_docs,
+        "split_sentences_docs": _split_sentences_docs,
     }
 
 
@@ -5014,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "stupid_backoff_docs": _STUPID_BACKOFF_SQL,
         "readability_docs": _READABILITY_SQL,
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
+        "split_sentences_docs": _SPLIT_SENTENCES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -854,3 +854,32 @@ def readability_stats(
         n_syllables.alias("n_syllables"),
         F.when(n_words > 0, flesch).alias("flesch_milli"),
     )
+
+
+def split_sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic rule-based sentence segmentation: one row per
+    sentence, ``(id, sent_id, sentence)`` — the primitive sentence-aware
+    chunking and per-sentence scoring build on (char-window
+    ``chunk_documents`` cuts mid-sentence by construction).
+
+    Rule: a sentence boundary is a ``[.!?]+`` run followed by a single
+    space (the whitespace-normalized form has no other whitespace). The
+    terminator stays with its sentence; empty segments are dropped.
+    Deliberately engine-portable — no lookbehind (RE2 has none): the
+    boundary is marked by a capture-group replace that appends a \\x01
+    sentinel (each engine spells its own backreference — ``$1`` in Java,
+    ``\\1`` in RE2 — producing identical strings), then one split +
+    posexplode. Pure JVM generated-column pass: no shuffle, no Python;
+    abbreviation handling ("Dr. Smith") is out of scope for the rule and
+    documented as such — the contract is determinism and portability,
+    not linguistics.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    marked = F.regexp_replace(norm, r"([.!?]+) ", "$1\x01")
+    sents = F.filter(F.split(marked, "\x01"), lambda s: F.trim(s) != "")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(sents).alias("sent_id", "sentence"))
+    )

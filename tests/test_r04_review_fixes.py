@@ -456,3 +456,44 @@ def test_readability_per_word_syllable_floor(spark):
     r = readability_stats(docs).collect()[0]
     assert r["n_words"] == 2
     assert r["n_syllables"] == 4  # ba-na-na (3) + tsk floor (1)
+
+
+# --- sentence segmentation -----------------------------------------------
+
+
+def test_split_sentences_semantics(spark):
+    from kgspark.ops.textstats import split_sentences
+
+    docs = _docs(
+        spark,
+        [
+            (1, "First one. Second two! Third?? Fourth"),
+            (2, "no terminator at all"),
+            (3, "Trailing dot."),
+            (4, None),
+        ],
+    )
+    out = {}
+    for r in split_sentences(docs).collect():
+        out.setdefault(r["doc_id"], []).append((r["sent_id"], r["sentence"]))
+    assert out[1] == [
+        (0, "First one."),
+        (1, "Second two!"),
+        (2, "Third??"),
+        (3, "Fourth"),
+    ]
+    assert out[2] == [(0, "no terminator at all")]
+    assert out[3] == [(0, "Trailing dot.")]  # terminator stays attached
+    assert 4 not in out  # NULL text excluded
+
+
+def test_split_sentences_whitespace_and_invariance(spark):
+    from kgspark.ops.textstats import split_sentences
+
+    docs = _docs(spark, [(i, f"alpha {i}.  beta!\n gamma") for i in range(30)])
+    a = sorted(map(tuple, split_sentences(docs).collect()))
+    b = sorted(map(tuple, split_sentences(docs.repartition(7)).collect()))
+    assert a == b
+    # \s+ normalization: double space / newline collapse before splitting
+    first = [s for (d, i, s) in a if d == 0]
+    assert first == ["alpha 0.", "beta!", "gamma"]
