@@ -1876,8 +1876,11 @@ marked AS (
   SELECT doc_id,
          list_filter(
            string_split(
-             regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
-                            '([.!?]+) ', '\\1' || chr(1), 'g'),
+             regexp_replace(
+               trim(regexp_replace(
+                 regexp_replace(text, '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '\\s+', ' ', 'g')),
+               '([.!?]+) ', '\\1' || chr(1), 'g'),
              chr(1)),
            s -> trim(s) <> '') AS sents
   FROM punct

@@ -860,9 +860,9 @@ def split_sentences(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic rule-based sentence segmentation: one row per
-    sentence, ``(id, sent_id, sentence)`` — the primitive sentence-aware
-    chunking and per-sentence scoring build on (char-window
-    ``chunk_documents`` cuts mid-sentence by construction).
+    sentence, ``(id, sent_id, sentence)`` — the primitive that
+    sentence-aware chunking and per-sentence scoring build on
+    (char-window ``chunk_documents`` cuts mid-sentence by construction).
 
     Rule: a sentence boundary is a ``[.!?]+`` run followed by a single
     space (the whitespace-normalized form has no other whitespace). The
@@ -871,12 +871,19 @@ def split_sentences(
     boundary is marked by a capture-group replace that appends a \\x01
     sentinel (each engine spells its own backreference — ``$1`` in Java,
     ``\\1`` in RE2 — producing identical strings), then one split +
-    posexplode. Pure JVM generated-column pass: no shuffle, no Python;
+    posexplode. Non-whitespace C0 controls (incl. a pre-existing \\x01,
+    which would otherwise collide with the sentinel and fabricate
+    phantom boundaries) are stripped first — mis-decoded legacy text
+    carries them, and route such docs through ``encoding_quality``
+    anyway. Pure JVM generated-column pass: no shuffle, no Python;
     abbreviation handling ("Dr. Smith") is out of scope for the rule and
     documented as such — the contract is determinism and portability,
     not linguistics.
     """
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    scrubbed = F.regexp_replace(
+        F.col(text_col), r"[\x00-\x08\x0e-\x1f\x7f]", ""
+    )
+    norm = F.trim(F.regexp_replace(scrubbed, r"\s+", " "))
     marked = F.regexp_replace(norm, r"([.!?]+) ", "$1\x01")
     sents = F.filter(F.split(marked, "\x01"), lambda s: F.trim(s) != "")
     return (

@@ -497,3 +497,15 @@ def test_split_sentences_whitespace_and_invariance(spark):
     # \s+ normalization: double space / newline collapse before splitting
     first = [s for (d, i, s) in a if d == 0]
     assert first == ["alpha 0.", "beta!", "gamma"]
+
+
+def test_split_sentences_sentinel_collision_scrubbed(spark):
+    """A pre-existing \\x01 control byte in input text (mis-decoded
+    legacy content) must NOT fabricate a phantom boundary — it is
+    scrubbed with the other non-whitespace C0 controls before the
+    sentinel machinery runs."""
+    from kgspark.ops.textstats import split_sentences
+
+    docs = _docs(spark, [(1, "foo\x01bar baz. end\x02tail")])
+    out = [(r["sent_id"], r["sentence"]) for r in split_sentences(docs).collect()]
+    assert out == [(0, "foobar baz."), (1, "endtail")]
