@@ -4636,6 +4636,71 @@ r{i} AS (SELECT nd.name,
 _PAGERANK_TPCH_SQL = _pagerank_sql()
 
 
+def _hits_tpch(spark, sf):
+    """HITS hubs/authorities (ops/graph_algs.hits) over the directed TPC-H
+    entity graph — the web-graph companion to pagerank_tpch: authority =
+    pointed-at by good hubs, hub = points at good authorities. Integer
+    fixed-point with L-infinity normalization: 3 fixed iterations,
+    bit-identical under any partitioning, the unrolled-SQL oracle replays
+    every floor-division exactly."""
+    from kgspark.ops.graph_algs import hits
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    s, r = _t(spark, sf, "supplier"), _t(spark, sf, "region")
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(c.select(F.col("c_name").alias("src"), F.col("c_mktsegment").alias("dst")))
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey)
+            .select(F.col("s_name").alias("src"), F.col("n_name").alias("dst"))
+        )
+        .unionByName(
+            n.join(r, n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+    )
+    return hits(edges, max_iter=3, scale=10**6).withColumnRenamed("name", "node")
+
+
+def _hits_sql(iters: int = 3, scale: int = 10**6) -> str:
+    parts = [
+        f"""
+WITH edges AS MATERIALIZED (
+  SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT c_name, c_mktsegment FROM customer
+  UNION ALL SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS MATERIALIZED (SELECT src AS name FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT name, CAST({scale} AS BIGINT) AS a, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+ar{i} AS (SELECT e.dst AS name, SUM(s.h) AS v
+          FROM edges e JOIN s{p} s ON e.src = s.name GROUP BY e.dst),
+an{i} AS (SELECT nd.name,
+                 CAST((COALESCE(a.v, 0) * {scale}) // (SELECT MAX(v) FROM ar{i})
+                      AS BIGINT) AS a
+          FROM nodes nd LEFT JOIN ar{i} a ON nd.name = a.name),
+hr{i} AS (SELECT e.src AS name, SUM(an.a) AS v
+          FROM edges e JOIN an{i} an ON e.dst = an.name GROUP BY e.src),
+s{i} AS (SELECT an.name, an.a,
+                CAST((COALESCE(h.v, 0) * {scale}) // (SELECT MAX(v) FROM hr{i})
+                     AS BIGINT) AS h
+         FROM an{i} an LEFT JOIN hr{i} h ON an.name = h.name)"""
+        )
+    parts.append(
+        f"\nSELECT name AS node, a AS auth_units, h AS hub_units FROM s{iters}"
+    )
+    return "".join(parts)
+
+
+_HITS_TPCH_SQL = _hits_sql()
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only + pinned golden-hash witness (minhash signatures are not
     SQL-expressible; the ``witness`` column carries the hard verdict)."""
@@ -4989,6 +5054,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": _readability_docs,
         "leakage_safe_split_docs": _leakage_safe_split_docs,
         "split_sentences_docs": _split_sentences_docs,
+        "hits_tpch": _hits_tpch,
     }
 
 
@@ -5060,6 +5126,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _READABILITY_SQL,
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "split_sentences_docs": _SPLIT_SENTENCES_SQL,
+        "hits_tpch": _HITS_TPCH_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -838,3 +838,95 @@ def clustering_coefficient(
         .cast("long")
         .alias("cc_units"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Kleinberg's HITS over a directed edge list: (src, dst) ->
+    (name, auth_units, hub_units) in bigint fixed-point units of 1/scale.
+
+    The web-graph companion to :func:`pagerank`: authority finds the pages
+    many good hubs point AT (the canonical-entity candidates in a link
+    graph), hub finds the pages that point at many good authorities (the
+    directory/index pages a crawler should prioritise). Compose with
+    extract/links.host_graph for host-level authority.
+
+    Same determinism contract as the integer PageRank: every operation is
+    a bigint add / multiply / floor-div, so the result is bit-identical
+    under any partitioning or engine and the DuckDB oracle replays it with
+    unrolled SQL. Normalization per half-step is L-infinity (divide by the
+    current max, so the best score is exactly ``scale``) — unlike the
+    classic L2 norm this stays inside integer arithmetic, and since HITS
+    scores are scale-free the ranking is unchanged.
+
+    Per iteration: auth(v) = sum of hub over in-neighbours, normalised;
+    then hub(u) = sum of NEW auth over out-neighbours, normalised — two
+    equi-joins + two aggregates + two 1-row max broadcasts, one
+    localCheckpoint to cut lineage; no per-iteration driver action.
+
+    Overflow guard: the normalise step computes raw * scale where raw <=
+    max_degree * scale, so max_degree * scale**2 must stay below 2**63 —
+    checked once up front against the actual graph (the semdedup_pairs
+    discipline); lower ``scale`` for hub-heavy graphs.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if scale < 2:
+        raise ValueError(f"scale must be >= 2, got {scale}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    if e.agg(F.count(F.lit(1)).alias("m")).first()["m"] == 0:
+        raise ValueError("hits() needs at least one edge")
+    maxdeg = (
+        e.select(F.col("src").alias("name"))
+        .unionAll(e.select(F.col("dst").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("d"))
+        .first()["d"]
+    )
+    if maxdeg * scale * scale >= 2**63:
+        raise ValueError(
+            f"max degree {maxdeg} * scale**2 ({scale}**2) would overflow bigint; "
+            "pass a smaller scale"
+        )
+    nodes = (
+        e.select(F.col("src").alias("name"))
+        .union(e.select(F.col("dst").alias("name")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.selectExpr(
+        "name", f"{scale}::bigint AS a", f"{scale}::bigint AS h"
+    )
+    for _ in range(max_iter):
+        araw = (
+            e.join(scores.selectExpr("name AS src", "h"), "src")
+            .groupBy(F.col("dst").alias("name"))
+            .agg(F.sum("h").alias("v"))
+        )
+        amax = araw.agg(F.max("v").alias("_am"))
+        an = (
+            nodes.join(araw, "name", "left")
+            .crossJoin(F.broadcast(amax))
+            .selectExpr("name", f"(coalesce(v, 0) * {scale}) div _am AS a")
+        )
+        hraw = (
+            e.join(an.selectExpr("name AS dst", "a"), "dst")
+            .groupBy(F.col("src").alias("name"))
+            .agg(F.sum("a").alias("v"))
+        )
+        hmax = hraw.agg(F.max("v").alias("_hm"))
+        scores = (
+            an.join(hraw, "name", "left")
+            .crossJoin(F.broadcast(hmax))
+            .selectExpr("name", "a", f"(coalesce(v, 0) * {scale}) div _hm AS h")
+            .localCheckpoint()
+        )
+    return scores.select(
+        "name", F.col("a").alias("auth_units"), F.col("h").alias("hub_units")
+    )
