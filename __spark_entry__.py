@@ -4701,6 +4701,44 @@ s{i} AS (SELECT an.name, an.a,
 _HITS_TPCH_SQL = _hits_sql()
 
 
+def _fuse_attributes_kg(spark, sf):
+    """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
+    every order is an independent source asserting its customer's
+    priority class — fusion resolves the conflict to the modal priority
+    per customer with a (votes DESC, value ASC) deterministic tie-break
+    and an integer-ppm support audit. One aggregate over the assertions,
+    then window top-1 over the bounded vote table."""
+    from kgspark.construct.fusion import fuse_attributes
+
+    o = _t(spark, sf, "orders")
+    assertions = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.lit("priority_class").alias("attr"),
+        F.col("o_orderpriority").alias("value"),
+    )
+    return fuse_attributes(assertions)
+
+
+_FUSE_ATTRIBUTES_SQL = """
+WITH votes AS (
+  SELECT o_custkey AS entity_id, 'priority_class' AS attr,
+         o_orderpriority AS value, CAST(count(*) AS BIGINT) AS votes
+  FROM orders GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         SUM(votes) OVER (PARTITION BY entity_id, attr) AS total_votes,
+         COUNT(*) OVER (PARTITION BY entity_id, attr) AS n_values,
+         ROW_NUMBER() OVER (PARTITION BY entity_id, attr
+                            ORDER BY votes DESC, value ASC) AS rk
+  FROM votes
+)
+SELECT entity_id, attr, value, votes, total_votes, n_values,
+       CAST((votes * 1000000) // total_votes AS BIGINT) AS support_ppm
+FROM ranked WHERE rk = 1
+"""
+
+
 def _minhash_dedup_docs(spark, sf):
     """Rows-only + pinned golden-hash witness (minhash signatures are not
     SQL-expressible; the ``witness`` column carries the hard verdict)."""
@@ -5055,6 +5093,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_docs": _leakage_safe_split_docs,
         "split_sentences_docs": _split_sentences_docs,
         "hits_tpch": _hits_tpch,
+        "fuse_attributes_kg": _fuse_attributes_kg,
     }
 
 
@@ -5127,6 +5166,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "split_sentences_docs": _SPLIT_SENTENCES_SQL,
         "hits_tpch": _HITS_TPCH_SQL,
+        "fuse_attributes_kg": _FUSE_ATTRIBUTES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
