@@ -4701,6 +4701,146 @@ s{i} AS (SELECT an.name, an.a,
 _HITS_TPCH_SQL = _hits_sql()
 
 
+def _tpch_name_graph(spark, sf):
+    """Name-keyed (nodes, edges) view of the TPC-H entity graph — the
+    oracle-portable form (entity_id hashes are not DuckDB-computable)."""
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    s, r = _t(spark, sf, "supplier"), _t(spark, sf, "region")
+    nodes = (
+        c.select(F.lit("Customer").alias("label"), F.col("c_name").alias("name"))
+        .unionByName(s.select(F.lit("Supplier").alias("label"), F.col("s_name").alias("name")))
+        .unionByName(n.select(F.lit("Nation").alias("label"), F.col("n_name").alias("name")))
+        .unionByName(r.select(F.lit("Region").alias("label"), F.col("r_name").alias("name")))
+    )
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_name").alias("src"),
+            F.lit("IN_NATION").alias("rel"),
+            F.col("n_name").alias("dst"),
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey).select(
+                F.col("s_name").alias("src"),
+                F.lit("IN_NATION").alias("rel"),
+                F.col("n_name").alias("dst"),
+            )
+        )
+        .unionByName(
+            n.join(r, n.n_regionkey == r.r_regionkey).select(
+                F.col("n_name").alias("src"),
+                F.lit("IN_REGION").alias("rel"),
+                F.col("r_name").alias("dst"),
+            )
+        )
+    )
+    return nodes, edges
+
+
+def _edge_type_check_kg(spark, sf):
+    """Ontology domain/range validation (construct/typecheck
+    .check_edge_types): the spec deliberately covers only
+    (IN_NATION, Customer, Nation), so every Supplier IN_NATION edge
+    surfaces as a 'signature' violation and every IN_REGION edge as
+    'unknown_rel' — both violation categories exercised, deterministic,
+    non-empty. Broadcast spec joins; the edge table never shuffles for
+    the spec."""
+    from kgspark.construct.typecheck import check_edge_types
+
+    nodes, edges = _tpch_name_graph(spark, sf)
+    spec = [("IN_NATION", "Customer", "Nation")]
+    return check_edge_types(
+        nodes, edges, spec, node_id="name", label="label", src="src", rel="rel", dst="dst"
+    )
+
+
+_EDGE_TYPE_CHECK_SQL = """
+WITH nodes AS (
+  SELECT 'Customer' AS label, c_name AS name FROM customer
+  UNION ALL SELECT 'Supplier', s_name FROM supplier
+  UNION ALL SELECT 'Nation', n_name FROM nation
+  UNION ALL SELECT 'Region', r_name FROM region
+),
+edges AS (
+  SELECT c_name AS src, 'IN_NATION' AS rel, n_name AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT s_name, 'IN_NATION', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, 'IN_REGION', r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+typed AS (
+  SELECT e.src, e.rel, e.dst, ns.label AS src_label, nd.label AS dst_label
+  FROM edges e JOIN nodes ns ON e.src = ns.name JOIN nodes nd ON e.dst = nd.name
+),
+spec AS (SELECT 'IN_NATION' AS rel, 'Customer' AS dom, 'Nation' AS rng)
+SELECT src, rel, dst, src_label, dst_label,
+       CASE WHEN rel NOT IN (SELECT rel FROM spec) THEN 'unknown_rel'
+            ELSE 'signature' END AS violation
+FROM typed t
+WHERE NOT EXISTS (
+  SELECT 1 FROM spec s
+  WHERE s.rel = t.rel AND s.dom = t.src_label AND s.rng = t.dst_label
+)
+"""
+
+
+def _infer_types_kg(spark, sf):
+    """Predicate-signature type inference (construct/typecheck
+    .infer_types): IN_NATION's two domain signatures (Customer, Supplier)
+    make every subject vote ambiguous (a 1-1 tie resolved
+    lexicographically, n_values = 2) while Nation/Region entities
+    accumulate unambiguous range votes — ambiguity is visible in the
+    audit columns, not hidden. Votes aggregate with map-side combine and
+    resolve through fuse_attributes' bigint tie-break."""
+    from kgspark.construct.typecheck import infer_types
+
+    _, edges = _tpch_name_graph(spark, sf)
+    spec = [
+        ("IN_NATION", "Customer", "Nation"),
+        ("IN_NATION", "Supplier", "Nation"),
+        ("IN_REGION", "Nation", "Region"),
+    ]
+    return infer_types(edges, spec, src="src", rel="rel", dst="dst")
+
+
+_INFER_TYPES_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT c_name AS src, 'IN_NATION' AS rel, n_name AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT s_name, 'IN_NATION', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, 'IN_REGION', r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+spec AS (
+  SELECT 'IN_NATION' AS rel, 'Customer' AS dom, 'Nation' AS rng
+  UNION ALL SELECT 'IN_NATION', 'Supplier', 'Nation'
+  UNION ALL SELECT 'IN_REGION', 'Nation', 'Region'
+),
+domv AS (SELECT DISTINCT rel, dom FROM spec),
+rngv AS (SELECT DISTINCT rel, rng FROM spec),
+votes AS (
+  SELECT entity_id, type, CAST(count(*) AS BIGINT) AS votes FROM (
+    SELECT e.src AS entity_id, d.dom AS type FROM edges e JOIN domv d ON e.rel = d.rel
+    UNION ALL
+    SELECT e.dst, r.rng FROM edges e JOIN rngv r ON e.rel = r.rel
+  ) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         SUM(votes) OVER (PARTITION BY entity_id) AS total_votes,
+         COUNT(*) OVER (PARTITION BY entity_id) AS n_values,
+         ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY votes DESC, type ASC) AS rk
+  FROM votes
+)
+SELECT entity_id, type, votes, total_votes, n_values,
+       CAST((votes * 1000000) // total_votes AS BIGINT) AS support_ppm
+FROM ranked WHERE rk = 1
+"""
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5094,6 +5234,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences_docs": _split_sentences_docs,
         "hits_tpch": _hits_tpch,
         "fuse_attributes_kg": _fuse_attributes_kg,
+        "edge_type_check_kg": _edge_type_check_kg,
+        "infer_types_kg": _infer_types_kg,
     }
 
 
@@ -5167,6 +5309,8 @@ def oracle_sql() -> dict[str, str]:
         "split_sentences_docs": _SPLIT_SENTENCES_SQL,
         "hits_tpch": _HITS_TPCH_SQL,
         "fuse_attributes_kg": _FUSE_ATTRIBUTES_SQL,
+        "edge_type_check_kg": _EDGE_TYPE_CHECK_SQL,
+        "infer_types_kg": _INFER_TYPES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
