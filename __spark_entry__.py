@@ -4841,6 +4841,35 @@ FROM ranked WHERE rk = 1
 """
 
 
+def _path_features_kg(spark, sf):
+    """PRA relation-typed 2-hop path features (ops/graph_algs
+    .path_features_2hop): Customer/Supplier -IN_NATION-> Nation
+    -IN_REGION-> Region paths counted per (a, b, rel_path). One mid-node
+    self-join + map-side-combinable aggregate; round trips excluded."""
+    from kgspark.ops.graph_algs import path_features_2hop
+
+    _, edges = _tpch_name_graph(spark, sf)
+    return path_features_2hop(edges, src="src", rel="rel", dst="dst")
+
+
+_PATH_FEATURES_SQL = """
+WITH edges AS MATERIALIZED (
+  SELECT c_name AS src, 'IN_NATION' AS rel, n_name AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT s_name, 'IN_NATION', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, 'IN_REGION', r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT l.src AS a, r.dst AS b,
+       l.rel || '>' || r.rel AS rel_path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM edges l JOIN edges r ON l.dst = r.src
+WHERE l.src <> r.dst
+GROUP BY 1, 2, 3
+"""
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5236,6 +5265,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_attributes_kg": _fuse_attributes_kg,
         "edge_type_check_kg": _edge_type_check_kg,
         "infer_types_kg": _infer_types_kg,
+        "path_features_kg": _path_features_kg,
     }
 
 
@@ -5311,6 +5341,7 @@ def oracle_sql() -> dict[str, str]:
         "fuse_attributes_kg": _FUSE_ATTRIBUTES_SQL,
         "edge_type_check_kg": _EDGE_TYPE_CHECK_SQL,
         "infer_types_kg": _INFER_TYPES_SQL,
+        "path_features_kg": _PATH_FEATURES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

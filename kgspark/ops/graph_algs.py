@@ -930,3 +930,63 @@ def hits(
     return scores.select(
         "name", F.col("a").alias("auth_units"), F.col("h").alias("hub_units")
     )
+
+
+def path_features_2hop(
+    edges: DataFrame,
+    pairs: DataFrame | None = None,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """PRA-style relation-typed path features: for every (a, b) connected
+    by a directed 2-hop path, the count of paths per relation sequence —
+    (a, b, rel_path 'r1>r2', n_paths). The Path Ranking Algorithm's
+    feature matrix (Lao & Cohen 2010) restricted to length-2 paths: each
+    (rel_path, n_paths) column is a typed-connectivity feature for KB
+    completion, complementing the untyped CN/RA/Jaccard heuristics of
+    :func:`link_prediction_scores` with the relation semantics a KG has
+    and a plain graph doesn't.
+
+    Shape: one self-equi-join on the mid node, then a HashAggregate keyed
+    by (a, b, r1, r2) with map-side combine. Self-pairs (a == b, i.e.
+    round trips) are dropped. The join fan-out is Omega(sum over mids of
+    indeg*outdeg) — the same hub honesty as link_prediction_scores, so
+    ``max_mid_degree`` caps the TOTAL degree of mid nodes (celebrity
+    entities stop manufacturing quadratic path rows; the audit query is
+    the caller's job, as with lp_center_audit). ``pairs`` (a, b) narrows
+    the output to a candidate set — it semi-joins the FIRST hop on `a`
+    before the fan-out, then the result on (a, b), so candidates prune
+    work, not just output."""
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(rel).alias("_r"), F.col(dst).alias("_d")
+    ).localCheckpoint()
+    left = e.select(F.col("_s").alias("a"), F.col("_r").alias("r1"), F.col("_d").alias("mid"))
+    right = e.select(F.col("_s").alias("mid"), F.col("_r").alias("r2"), F.col("_d").alias("b"))
+    if max_mid_degree is not None:
+        if max_mid_degree < 1:
+            raise ValueError(f"max_mid_degree must be >= 1, got {max_mid_degree}")
+        deg = (
+            e.select(F.col("_s").alias("mid"))
+            .unionAll(e.select(F.col("_d").alias("mid")))
+            .groupBy("mid")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= max_mid_degree)
+            .select("mid")
+        )
+        left = left.join(deg, "mid", "left_semi")
+    if pairs is not None:
+        cand = pairs.select(
+            F.col(pairs.columns[0]).alias("a"), F.col(pairs.columns[1]).alias("b")
+        ).distinct()
+        left = left.join(cand.select("a").distinct(), "a", "left_semi")
+    out = (
+        left.join(right, "mid")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", F.concat_ws(">", "r1", "r2").alias("rel_path"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    if pairs is not None:
+        out = out.join(cand, ["a", "b"], "left_semi")
+    return out
