@@ -4870,6 +4870,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def _token_entropy_docs(spark, sf):
+    """Per-doc Shannon token entropy (ops/textstats.token_entropy): the
+    corpus-free lexical-diversity gate — millinat bigint fixed-point sums
+    (partition-order exact), float math once per row, oracle replays it
+    bit for bit including the 6-decimal rounding."""
+    from kgspark.ops.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"))
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(c * CAST(round(ln(c) * 1000, 0) AS BIGINT)) AS s
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(ln(n_tokens) - s / 1000.0 / n_tokens, 6) AS entropy,
+       CASE WHEN n_tokens <= 1 THEN 0.0
+            ELSE round((ln(n_tokens) - s / 1000.0 / n_tokens) / ln(n_tokens), 6)
+       END AS entropy_norm
+FROM per_doc
+"""
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5266,6 +5299,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_type_check_kg": _edge_type_check_kg,
         "infer_types_kg": _infer_types_kg,
         "path_features_kg": _path_features_kg,
+        "token_entropy_docs": _token_entropy_docs,
     }
 
 
@@ -5342,6 +5376,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_type_check_kg": _EDGE_TYPE_CHECK_SQL,
         "infer_types_kg": _INFER_TYPES_SQL,
         "path_features_kg": _PATH_FEATURES_SQL,
+        "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -890,3 +890,55 @@ def split_sentences(
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode(sents).alias("sent_id", "sentence"))
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    lexical-diversity gate: near-zero entropy is keyword-stuffing /
+    repeated-phrase spam ("buy now buy now ..."), entropy near its
+    ln(n_tokens) ceiling is diverse prose. Complements repetition_ratio
+    (which sees ORDERED k-gram repeats; entropy sees skew in the bag of
+    words even when no 5-gram ever repeats) and unigram_logprob (which
+    scores tokens against the CORPUS model; entropy is corpus-free).
+
+    Returns ``(id, n_tokens, entropy, entropy_norm)`` for documents with
+    >= 1 token: ``entropy = ln(N) - (1/N) * sum_t c_t ln(c_t)`` in nats
+    over the doc's own term counts, and ``entropy_norm = entropy/ln(N)``
+    in [0, 1] (0.0 by convention for single-token docs, whose ceiling is
+    ln(1) = 0). Gate on entropy_norm: it is length-independent.
+
+    Determinism discipline (the unigram_logprob recipe): per distinct
+    (doc, term) the contribution is ``c * round(ln(c)*1000)`` — a bigint
+    millinat, rounded ONCE per term in a generated column — so the
+    per-doc sum is exact integer math in any partition order; the float
+    division and single ln(N) happen once per row at the end, rounded to
+    6 decimals. Shuffle shape: one map-side-combinable (doc, term) count,
+    one per-doc aggregate. No Python anywhere.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    tc = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.sum(
+            (F.col("_c") * F.round(F.log(F.col("_c")) * 1000).cast("bigint"))
+        ).alias("_s"),
+    )
+    ent = F.log(F.col("n_tokens")) - F.col("_s") / 1000.0 / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+        .otherwise(F.round(ent / F.log(F.col("n_tokens")), 6))
+        .alias("entropy_norm"),
+    )
