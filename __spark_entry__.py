@@ -4903,6 +4903,49 @@ FROM per_doc
 """
 
 
+def _crawl_waves_docs(spark, sf):
+    """Politeness-aware crawl scheduling (ops/curation.crawl_waves):
+    deterministic synthetic frontier (7 hosts over documents, n_chars as
+    the priority), budget 3 per host per wave — the oracle replays host
+    extraction, the priority-then-salted-md5 order, and the slot/wave
+    integer math digit for digit."""
+    from kgspark.ops.curation import crawl_waves
+
+    d = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").alias("prio"),
+    )
+    return crawl_waves(d, per_host_per_wave=3, priority_col="prio")
+
+
+_CRAWL_WAVES_SQL = """
+WITH frontier AS (
+  SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         n_chars AS prio,
+         'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY prio DESC, md5(url || '|wave-v1'), url
+         ) - 1 AS rk
+  FROM frontier
+)
+SELECT url, prio, host,
+       CAST(rk % 3 AS BIGINT) AS slot,
+       CAST(rk // 3 AS BIGINT) AS wave
+FROM ranked
+"""
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5300,6 +5343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types_kg": _infer_types_kg,
         "path_features_kg": _path_features_kg,
         "token_entropy_docs": _token_entropy_docs,
+        "crawl_waves_docs": _crawl_waves_docs,
     }
 
 
@@ -5377,6 +5421,7 @@ def oracle_sql() -> dict[str, str]:
         "infer_types_kg": _INFER_TYPES_SQL,
         "path_features_kg": _PATH_FEATURES_SQL,
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,
+        "crawl_waves_docs": _CRAWL_WAVES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

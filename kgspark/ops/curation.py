@@ -1136,3 +1136,49 @@ def leakage_safe_split(
         "split",
         split_assign(F.col("cluster"), salt=salt, val_pct=val_pct, test_pct=test_pct),
     )
+
+
+def crawl_waves(
+    frontier: DataFrame,
+    url_col: str = "url",
+    per_host_per_wave: int = 1,
+    priority_col: str | None = None,
+    salt: str = "wave-v1",
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: assign every frontier URL a
+    ``wave`` such that no host appears more than ``per_host_per_wave``
+    times per wave — the frontier partitioned into fetch rounds a polite
+    crawler can execute concurrently (one wave = one parallel burst; the
+    per-host crawl-delay sits BETWEEN waves, so intra-wave order never
+    hits a host twice when the budget is 1).
+
+    Within a host, URLs are ordered by ``priority_col`` DESC when given
+    (crawl important pages first — e.g. a pagerank or host-authority
+    score), then by the cap_per_group salted-md5 hash (rerun- and
+    partitioning-stable, unbiased by input order, redrawable via
+    ``salt`` — never rand()). Returns the input plus ``host``,
+    ``slot`` (0-based position within (host, wave)) and ``wave``.
+
+    One window keyed by host — host-cardinality groups, no global sort;
+    the wave histogram (``groupBy('wave').count()``) is the crawl-plan
+    audit. Scale note: the max wave count is ceil(max host frontier /
+    budget) — hosts do not block each other, so a single giant host
+    lengthens the plan's tail without inflating any shuffle.
+    """
+    if per_host_per_wave < 1:
+        raise ValueError(f"per_host_per_wave must be >= 1, got {per_host_per_wave}")
+    h = F.md5(F.concat(F.col(url_col).cast("string"), F.lit(f"|{salt}")))
+    order = (
+        [F.col(priority_col).desc()] if priority_col is not None else []
+    ) + [h, F.col(url_col)]
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        frontier.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("_rk", F.row_number().over(w) - 1)
+        .select(
+            *frontier.columns,
+            "host",
+            F.pmod(F.col("_rk"), F.lit(per_host_per_wave)).cast("bigint").alias("slot"),
+            F.expr(f"_rk div {per_host_per_wave}").cast("bigint").alias("wave"),
+        )
+    )
