@@ -4946,6 +4946,72 @@ FROM ranked
 """
 
 
+def _cm_heavy_hitters_docs(spark, sf):
+    """Count-min frequency sketch + heavy-hitter point queries
+    (ops/sketch.cm_sketch/cm_query): a deliberately skewed synthetic key
+    (half the corpus lands on host0 — the hot-join-key shape) sketched
+    into a 3x64 bigint grid, then every distinct key point-queried and
+    flagged against the salting threshold. The oracle replays the salted
+    md5 -> 60-bit strpos expansion -> mod-width positions, the counter
+    grid, and the min-over-rows estimate digit for digit."""
+    from kgspark.ops.sketch import cm_query, cm_sketch
+
+    d = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("host"),
+            F.when(F.col("doc_id") % 4 < 2, F.lit(0))
+            .otherwise(F.col("doc_id") % 11)
+            .cast("string"),
+        ).alias("key")
+    )
+    sk = cm_sketch(d, "key", depth=3, width=64)
+    est = cm_query(sk, d, "key", depth=3, width=64)
+    return est.select(
+        "value",
+        "est_count",
+        (F.col("est_count") >= 150).cast("int").alias("is_heavy"),
+    )
+
+
+def _cm_heavy_hitters_sql(depth: int = 3, width: int = 64) -> str:
+    digits = "0123456789abcdef"
+    exp = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH vals AS (
+  SELECT 'host' || CAST(CASE WHEN doc_id % 4 < 2 THEN 0 ELSE doc_id % 11 END
+                        AS VARCHAR) AS value
+  FROM documents
+),
+cellsrc AS (
+  SELECT t.j AS j, md5('cm-v1|' || value || '|' || CAST(t.j AS VARCHAR)) AS h
+  FROM vals, unnest(range(0, {depth})) AS t(j)
+),
+sketch AS (
+  SELECT j, ({exp}) % {width} AS pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM cellsrc GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT value FROM vals),
+qcells AS (
+  SELECT value, t.j AS j, md5('cm-v1|' || value || '|' || CAST(t.j AS VARCHAR)) AS h
+  FROM cand, unnest(range(0, {depth})) AS t(j)
+),
+qpos AS (SELECT value, j, ({exp}) % {width} AS pos FROM qcells),
+est AS (
+  SELECT value, MIN(COALESCE(s.cnt, 0)) AS est_count
+  FROM qpos q LEFT JOIN sketch s USING (j, pos) GROUP BY value
+)
+SELECT value, est_count,
+       CAST(CASE WHEN est_count >= 150 THEN 1 ELSE 0 END AS INT) AS is_heavy
+FROM est
+"""
+
+
+_CM_HEAVY_HITTERS_SQL = _cm_heavy_hitters_sql()
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5344,6 +5410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_features_kg": _path_features_kg,
         "token_entropy_docs": _token_entropy_docs,
         "crawl_waves_docs": _crawl_waves_docs,
+        "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
     }
 
 
@@ -5422,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "path_features_kg": _PATH_FEATURES_SQL,
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "crawl_waves_docs": _CRAWL_WAVES_SQL,
+        "cm_heavy_hitters_docs": _CM_HEAVY_HITTERS_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -102,3 +102,127 @@ def kmv_distinct(
     ``est_distinct``. Deterministic (hash-based, no RNG) and engine-portable
     — the DuckDB oracle reproduces it bit-for-bit (queries `kmv_distinct`)."""
     return kmv_estimate(kmv_sketch(df, value_col, group_cols, k), k).drop("sketch")
+
+
+# --- Count-min sketch: mergeable frequency estimation ----------------------
+
+
+def _cm_pos(value: Column, j: int, width: int, salt: str) -> Column:
+    """Row-j counter position for a value: 15 hex digits of a salted md5
+    (60 bits, exact in bigint — the kg_sampling.negative_samples
+    technique) mod width. Engine-portable: DuckDB replays it with a
+    strpos digit expansion."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), value.cast("string"), F.lit(str(j)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    weight_col: str | None = None,
+    salt: str = "cm-v1",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key column:
+    a depth x width grid of bigint counters, returned as rows
+    ``(j, pos, cnt)`` — at most depth*width of them, whatever the input
+    size. The frequency-estimation sibling of the KMV cardinality sketch:
+    per-shard / per-day sketches stored with the lineage rows answer
+    "how often did this key occur" later WITHOUT rescanning, merge by
+    counter addition (:func:`cm_merge`), and estimates never undercount
+    (:func:`cm_query` takes the min over rows, each an overestimate).
+
+    The skew-diagnosis use: sketch yesterday's join keys, point-query
+    today's candidates, and keys whose estimate clears a salting
+    threshold get routed to the skew path (ops/skew.py) — the sketch is
+    the cheap standing artifact, detect_hot_keys the exact one-shot.
+
+    Plan: one generated-column explode (depth rows per input row) into a
+    HashAggregate keyed by (j, pos) — map-side combine collapses each
+    task's output to <= depth*width rows before the exchange, so shuffle
+    volume is bounded by parallelism * depth * width regardless of corpus
+    size. Weights (``weight_col``, bigint) make it a weighted-frequency
+    sketch; everything is integer, so the grid is bit-identical under any
+    partitioning.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    cells = df.filter(F.col(value_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_pos(F.col(value_col), j, width, salt).alias("pos"),
+                        w.alias("_w"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c")
+    )
+    return (
+        cells.select("_c.j", "_c.pos", "_c._w")
+        .groupBy("j", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_merge(sketches: DataFrame) -> DataFrame:
+    """Union of (j, pos, cnt) sketch rows (same depth/width/salt) -> one
+    sketch: counters add. Shuffle bounded by depth*width."""
+    return sketches.groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_query(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cm-v1",
+) -> DataFrame:
+    """Point-query a count-min sketch: for each candidate value the
+    estimate is min over rows j of counter[j][pos_j(value)] (missing
+    cell = 0). Never undercounts; overcounts by at most ~2N/width with
+    probability 1 - 2^-depth. depth/width/salt MUST match the build.
+
+    Plan: the candidate set explodes into its depth cells, broadcast-joins
+    the <= depth*width sketch rows, and aggregates the min per value —
+    the candidate table never shuffles for the sketch."""
+    cand = queries.select(F.col(value_col).alias("value")).distinct()
+    cells = cand.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_pos(F.col("value"), j, width, salt).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select("value", "_c.j", "_c.pos")
+    return (
+        cells.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
