@@ -5012,6 +5012,128 @@ FROM est
 _CM_HEAVY_HITTERS_SQL = _cm_heavy_hitters_sql()
 
 
+def _pq_topk_emb(spark, sf):
+    """Product-quantization ANN (ops/pq.pq_fit/pq_encode/pq_topk): train
+    4x8 codebooks over the 64-dim embeddings (2 integer-exact Lloyd
+    rounds), encode the corpus to 4 codes per vector, and answer the
+    vec_id-0 query by ADC — literal distance tables, pure projection over
+    the code table, deterministic (distance, id) top-10. The oracle
+    replays fit, encode, and the ADC scores bit for bit."""
+    from kgspark.ops.pq import pq_encode, pq_fit, pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    books = pq_fit(e, m=4, k=8, n_iter=2, scale=1000)
+    query = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    enc = pq_encode(e, books, scale=1000)
+    return pq_topk(enc, books, query, topk=10, scale=1000)
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    salt: str = "pq-init-v1",
+    topk: int = 10,
+) -> str:
+    """DuckDB replay of the full PQ pipeline — per-subspace Lloyd unrolls
+    (the _kmeans_sql pattern with sliced position ranges and a shared
+    seed ranking), final-codebook encode, and the ADC score against the
+    vec_id-0 query vector."""
+    digits = "0123456789abcdef"
+    expansion = " + ".join(
+        f"CAST(strpos('{digits}', substr(h, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    dsub = dim // m
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+dims AS (SELECT CAST(u.i AS INT) AS pos FROM unnest(range(0, {dim})) u(i)),
+qd AS MATERIALIZED (SELECT id, pos, q[pos + 1] AS v FROM base, dims),
+init AS (
+  SELECT id, row_number() OVER (ORDER BY ({expansion}), id) - 1 AS c
+  FROM (SELECT id, md5(concat_ws('|', '{salt}', CAST(id AS VARCHAR))) AS h FROM base)
+),
+qv AS (SELECT pos, v FROM qd WHERE id = 0)"""
+    ]
+    for s in range(m):
+        lo, hi = s * dsub, (s + 1) * dsub
+        parts.append(
+            f""",
+s{s}cd0 AS MATERIALIZED (
+  SELECT i.c, qd.pos, qd.v FROM init i JOIN qd ON qd.id = i.id
+  WHERE i.c < {k} AND qd.pos >= {lo} AND qd.pos < {hi}
+)"""
+        )
+        for t in range(1, n_iter + 1):
+            p = t - 1
+            parts.append(
+                f""",
+s{s}d{t} AS (
+  SELECT qd.id, cd.c, sum((qd.v - cd.v) * (qd.v - cd.v)) AS dist
+  FROM qd JOIN s{s}cd{p} cd USING (pos) GROUP BY qd.id, cd.c
+),
+s{s}a{t} AS (
+  SELECT id, c FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
+    FROM s{s}d{t}
+  ) WHERE rn = 1
+),
+s{s}u{t} AS MATERIALIZED (
+  SELECT a.c, qd.pos, sum(qd.v) AS sm, count(*) AS n
+  FROM s{s}a{t} a JOIN qd ON qd.id = a.id
+  WHERE qd.pos >= {lo} AND qd.pos < {hi} GROUP BY a.c, qd.pos
+),
+s{s}cd{t} AS MATERIALIZED (
+  SELECT c, pos, CAST((sm - (((sm % n) + n) % n)) // n AS BIGINT) AS v FROM s{s}u{t}
+  UNION ALL
+  SELECT c, pos, v FROM s{s}cd{p}
+  WHERE c NOT IN (SELECT DISTINCT c FROM s{s}u{t})
+)"""
+            )
+        parts.append(
+            f""",
+s{s}ed AS (
+  SELECT qd.id, cd.c, sum((qd.v - cd.v) * (qd.v - cd.v)) AS dist
+  FROM qd JOIN s{s}cd{n_iter} cd USING (pos) GROUP BY qd.id, cd.c
+),
+s{s}enc AS (
+  SELECT id, c FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
+    FROM s{s}ed
+  ) WHERE rn = 1
+),
+s{s}tab AS (
+  SELECT cd.c, sum((qv.v - cd.v) * (qv.v - cd.v)) AS d
+  FROM s{s}cd{n_iter} cd JOIN qv USING (pos) GROUP BY cd.c
+)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT e.id, t.d FROM s{s}enc e JOIN s{s}tab t USING (c)" for s in range(m)
+    )
+    parts.append(
+        f""",
+scores AS (
+  SELECT id, sum(d) AS adc FROM (
+    {unions}
+  ) GROUP BY id
+)
+SELECT id AS vec_id, CAST(adc AS BIGINT) AS adc_dist_units
+FROM scores ORDER BY adc, id LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+_PQ_TOPK_SQL = _pq_sql()
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5411,6 +5533,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_docs": _token_entropy_docs,
         "crawl_waves_docs": _crawl_waves_docs,
         "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
+        "pq_topk_emb": _pq_topk_emb,
     }
 
 
@@ -5490,6 +5613,7 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "crawl_waves_docs": _CRAWL_WAVES_SQL,
         "cm_heavy_hitters_docs": _CM_HEAVY_HITTERS_SQL,
+        "pq_topk_emb": _PQ_TOPK_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
