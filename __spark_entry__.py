@@ -5134,6 +5134,124 @@ FROM scores ORDER BY adc, id LIMIT {topk}"""
 _PQ_TOPK_SQL = _pq_sql()
 
 
+def _distmult_train_kg(spark, sf):
+    """DistMult KG-embedding training (ops/distmult.distmult_train): 2
+    full-batch fixed-point epochs over the nation->IN_REGION->region
+    graph, dim 4 — the bilinear complement to transe_train_kg, with every
+    cubic term STAGED through two floor-divisions so all intermediates
+    stay exact; the DuckDB oracle unrolls the whole training run with the
+    same staging and hash-matches the final embeddings bit for bit."""
+    from kgspark.ops.distmult import distmult_train
+
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    edges = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("src_id"),
+        F.lit("IN_REGION").alias("rel"),
+        F.col("r_name").alias("dst_id"),
+    )
+    ent, rel = distmult_train(edges, dim=4, epochs=2)
+    return ent.select(
+        F.lit("e").alias("kind"), "id", F.posexplode("vec").alias("d", "v")
+    ).unionAll(
+        rel.select(F.lit("r").alias("kind"), "id", F.posexplode("vec").alias("d", "v"))
+    )
+
+
+def _distmult_sql(
+    dim: int = 4,
+    epochs: int = 2,
+    lr: int = 10_000,
+    margin: int = 1_000_000,
+    amp: int = 500_000,
+    scale: int = 1_000_000,
+    init_salt: str = "distmult-init-v1",
+    neg_salt: str = "distmult-neg-v1",
+) -> str:
+    digits = "0123456789abcdef"
+
+    def expansion(h: str) -> str:
+        return " + ".join(
+            f"CAST(strpos('{digits}', substr({h}, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+
+    def fdiv(x: str) -> str:
+        return (
+            f"CAST(({x} - ((({x}) % {scale}) + {scale}) % {scale}) / {scale} AS BIGINT)"
+        )
+
+    span = 2 * amp + 1
+    parts = [
+        f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT n_name AS s, 'IN_REGION' AS r, r_name AS o
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+ents AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT s AS id FROM t UNION ALL SELECT o FROM t)),
+rels AS (SELECT DISTINCT r AS id FROM t),
+dims AS (SELECT CAST(u.i AS INT) AS d FROM unnest(range(0, {dim})) u(i)),
+e0 AS MATERIALIZED (
+  SELECT 'e' AS kind, id, d, (({expansion('h')}) % {span}) - {amp} AS v
+  FROM (SELECT id, d, md5(concat_ws('|', '{init_salt}', id, CAST(d AS VARCHAR))) AS h
+        FROM ents, dims)
+  UNION ALL
+  SELECT 'r', id, d, (({expansion('h')}) % {span}) - {amp}
+  FROM (SELECT id, d, md5(concat_ws('|', '{init_salt}', id, CAST(d AS VARCHAR))) AS h
+        FROM rels, dims)
+),
+idxn AS (SELECT id AS cand, row_number() OVER (ORDER BY id) - 1 AS idx FROM ents),
+nn AS (SELECT count(*) AS n FROM ents),
+pr AS (SELECT s, r, o, ({expansion('h')}) % (SELECT n FROM nn) AS idx
+       FROM (SELECT s, r, o, md5(concat_ws('|', '{neg_salt}', s, r, o, '0')) AS h FROM t)),
+pairs AS MATERIALIZED (
+  SELECT p.s, p.r, p.o, i.cand AS oneg
+  FROM pr p JOIN idxn i USING (idx)
+  LEFT JOIN t t2 ON t2.s = p.s AND t2.r = p.r AND t2.o = i.cand
+  WHERE t2.s IS NULL
+)"""
+    ]
+    for t in range(1, epochs + 1):
+        p = t - 1
+        term = lambda other: fdiv(f"({fdiv('(sv*rv)')} * {other})")  # noqa: E731
+        parts.append(
+            f""",
+pe{t} AS MATERIALIZED (
+  SELECT p.s, p.r, p.o, p.oneg, es.d,
+         es.v AS sv, rr.v AS rv, eo.v AS ov, en.v AS nv
+  FROM pairs p
+  JOIN e{p} es ON es.kind = 'e' AND es.id = p.s
+  JOIN e{p} eo ON eo.kind = 'e' AND eo.id = p.o AND eo.d = es.d
+  JOIN e{p} en ON en.kind = 'e' AND en.id = p.oneg AND en.d = es.d
+  JOIN e{p} rr ON rr.kind = 'r' AND rr.id = p.r AND rr.d = es.d
+),
+sc{t} AS (SELECT s, r, o, oneg,
+                 CAST(sum({term('ov')}) AS BIGINT) AS fp,
+                 CAST(sum({term('nv')}) AS BIGINT) AS fn
+          FROM pe{t} GROUP BY s, r, o, oneg),
+act{t} AS (SELECT s, r, o, oneg FROM sc{t} WHERE {margin} + fn - fp > 0),
+g{t} AS (SELECT pe.s, pe.r, pe.o, pe.oneg, pe.d,
+                {fdiv(f"({fdiv(f'(rv*{lr})')} * (nv - ov))")} AS gs,
+                {fdiv(f"({fdiv(f'(sv*{lr})')} * (nv - ov))")} AS gr,
+                {fdiv(f"({fdiv(f'(sv*{lr})')} * rv)")} AS gor
+         FROM pe{t} pe JOIN act{t} a
+           ON a.s = pe.s AND a.r = pe.r AND a.o = pe.o AND a.oneg = pe.oneg),
+c{t} AS (
+  SELECT 'e' AS kind, s AS id, d, gs AS g FROM g{t}
+  UNION ALL SELECT 'e', o, d, -gor FROM g{t}
+  UNION ALL SELECT 'e', oneg, d, gor FROM g{t}
+  UNION ALL SELECT 'r', r, d, gr FROM g{t}),
+gr{t} AS (SELECT kind, id, d, CAST(sum(g) AS BIGINT) AS g FROM c{t} GROUP BY kind, id, d),
+e{t} AS MATERIALIZED (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
+         FROM e{p} e LEFT JOIN gr{t} gr
+           ON gr.kind = e.kind AND gr.id = e.id AND gr.d = e.d)"""
+        )
+    parts.append(f"\nSELECT kind, id, d, CAST(v AS BIGINT) AS v FROM e{epochs}")
+    return "".join(parts)
+
+
+_DISTMULT_TRAIN_SQL = _distmult_sql()
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5534,6 +5652,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_waves_docs": _crawl_waves_docs,
         "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
         "pq_topk_emb": _pq_topk_emb,
+        "distmult_train_kg": _distmult_train_kg,
     }
 
 
@@ -5614,6 +5733,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_waves_docs": _CRAWL_WAVES_SQL,
         "cm_heavy_hitters_docs": _CM_HEAVY_HITTERS_SQL,
         "pq_topk_emb": _PQ_TOPK_SQL,
+        "distmult_train_kg": _DISTMULT_TRAIN_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
