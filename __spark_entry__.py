@@ -5252,6 +5252,66 @@ e{t} AS MATERIALIZED (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
 _DISTMULT_TRAIN_SQL = _distmult_sql()
 
 
+def _hll_distinct_events(spark, sf):
+    """HyperLogLog distinct users per event_type (ops/sketch.hll_sketch +
+    hll_estimate, p=6 -> 64 registers): the constant-size cousin of
+    kmv_distinct — exact bigint harmonic-sum terms, one float expression
+    per group, linear-counting small-range branch. The oracle replays
+    every register and the estimate."""
+    from kgspark.ops.sketch import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf, "events")
+    sk = hll_sketch(ev, "user_id", ["event_type"], p=6)
+    return hll_estimate(sk, ["event_type"], p=6)
+
+
+def _hll_sql(p: int = 6) -> str:
+    from kgspark.ops.sketch import _hll_alpha
+
+    m, b = 2**p, 60 - p
+    digits = "0123456789abcdef"
+    exp = " + ".join(
+        f"CAST(strpos('{digits}', substr(hh, {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    c_raw = _hll_alpha(m) * m * m * float(2**b)
+    return f"""
+WITH src AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+hs AS (SELECT event_type, ({exp}) AS h FROM src),
+cells AS (
+  SELECT event_type, h // {2**b} AS idx,
+         CASE WHEN h % {2**b} = 0 THEN {b + 1}
+              ELSE {b} - length(bin(h % {2**b})) + 1 END AS rk
+  FROM hs
+),
+regs AS (
+  SELECT event_type, idx, CAST(MAX(rk) AS INT) AS maxrank
+  FROM cells GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         SUM(CAST(power(2.0, {b} - LEAST(maxrank, {b})) AS BIGINT)) AS s,
+         COUNT(*) AS nreg
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(floor(
+         CASE WHEN ({m} - nreg) > 0
+                   AND ({c_raw!r} / CAST(s + ({m} - nreg) * {2**b} AS DOUBLE)) <= {2.5 * m!r}
+              THEN ln(CAST({m} AS DOUBLE) / CAST({m} - nreg AS DOUBLE)) * {m}
+              ELSE {c_raw!r} / CAST(s + ({m} - nreg) * {2**b} AS DOUBLE)
+         END
+       ) AS BIGINT) AS est_distinct
+FROM agg
+"""
+
+
+_HLL_DISTINCT_SQL = _hll_sql()
+
+
 def _fuse_attributes_kg(spark, sf):
     """Majority-vote attribute fusion (construct/fusion.fuse_attributes):
     every order is an independent source asserting its customer's
@@ -5653,6 +5713,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
         "pq_topk_emb": _pq_topk_emb,
         "distmult_train_kg": _distmult_train_kg,
+        "hll_distinct_events": _hll_distinct_events,
     }
 
 
@@ -5734,6 +5795,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_heavy_hitters_docs": _CM_HEAVY_HITTERS_SQL,
         "pq_topk_emb": _PQ_TOPK_SQL,
         "distmult_train_kg": _DISTMULT_TRAIN_SQL,
+        "hll_distinct_events": _HLL_DISTINCT_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

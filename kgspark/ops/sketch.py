@@ -226,3 +226,99 @@ def cm_query(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# --- HyperLogLog: constant-size cardinality estimation ----------------------
+
+_HLL_PREFIX_BITS = 60  # 15 hex digits, exact in bigint (kg_sampling technique)
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant (m >= 64 form)."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet, Fusy, Gandouet, Meunier
+    2007): rows ``group_cols + (idx, maxrank)``, at most m = 2**p per
+    group, whatever the input size. The constant-size cousin of the KMV
+    sketch: KMV keeps k hash strings (exact below k, simple estimator);
+    HLL keeps 2**p small integers and scales to billions of distinct
+    values with ~1.04/sqrt(m) error — the industry-standard shape for
+    per-shard cardinality artifacts.
+
+    Portable by construction: the 60-bit md5 prefix splits into a p-bit
+    register index (top bits) and a (60-p)-bit suffix whose
+    leading-zero rank comes from ``length(bin(suffix))`` — both engines
+    print minimal binary, so the DuckDB oracle replays every register.
+
+    Plan: one projection + HashAggregate keyed by (group, idx) with
+    map-side MAX combine — shuffle volume bounded by parallelism * m per
+    group, like cm_sketch. Merge = the same MAX aggregate over unioned
+    register rows (:func:`hll_merge`).
+    """
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    b = _HLL_PREFIX_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    idx = F.expr(f"_h div {2**b}").alias("idx")
+    rest = F.pmod(F.col("_h"), F.lit(2**b))
+    rank = (
+        F.when(rest == 0, F.lit(b + 1))
+        .otherwise(F.lit(b) - F.length(F.bin(rest)) + 1)
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .select(*group_cols, idx, rank.alias("_rk"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("_rk").alias("maxrank"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union of register rows (same p) -> merged sketch: per-register MAX,
+    exactly the sketch of the union of the underlying sets."""
+    return sketches.groupBy(*group_cols, "idx").agg(
+        F.max("maxrank").alias("maxrank")
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Registers -> ``est_distinct`` (bigint) per group. The raw harmonic
+    estimate alpha_m * m^2 / sum(2^-M_j) with the linear-counting
+    small-range correction (m * ln(m / zero_registers) when the raw
+    estimate is under 2.5m and zeros exist).
+
+    Determinism: the harmonic sum aggregates as EXACT bigint terms
+    2**(b - min(M_j, b)) (absent registers contribute 2**b each), so the
+    distributed sum is partition-order-free; the single float expression
+    (one bigint->double conversion, one division, one ln branch) happens
+    once per group — both engines round identical doubles identically.
+    The min(M_j, b) cap loses the 2^-(b+1) term of an all-zero suffix
+    (probability 2**-54 per value); the oracle replays the same cap.
+    """
+    m = 2**p
+    b = _HLL_PREFIX_BITS - p
+    alpha = _hll_alpha(m)
+    per_group = sketches.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(b) - F.least("maxrank", F.lit(b))).cast("bigint")).alias("_s"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    zeros = F.lit(m) - F.col("_nreg")
+    s_full = F.col("_s") + zeros * F.lit(2**b)
+    raw = F.lit(alpha * m * m * float(2**b)) / s_full.cast("double")
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.log(F.lit(float(m)) / zeros.cast("double")) * m,
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.floor(est).cast("bigint").alias("est_distinct")
+    )
