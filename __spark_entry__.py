@@ -5252,6 +5252,114 @@ e{t} AS MATERIALIZED (SELECT e.kind, e.id, e.d, e.v - COALESCE(gr.g, 0) AS v
 _DISTMULT_TRAIN_SQL = _distmult_sql()
 
 
+def _textrank_docs(spark, sf):
+    """TextRank extractive sentence ranking (ops/textrank.textrank_sentences):
+    per-document sentence graphs (distinct-token overlap >= 2 => edge)
+    ranked by integer fixed-point PageRank, top-3 sentences per doc. The
+    corpus gets the split_sentences punctuation injection (no punctuation
+    in the synthetic text otherwise); the oracle replays segmentation,
+    tokenization, the inverted-index pair join, and every per-document
+    PageRank round bit-for-bit."""
+    from kgspark.ops.textrank import textrank_sentences
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"\b(table|row)\b", "$1.").alias("text"),
+    )
+    return textrank_sentences(d, min_overlap=2, max_iter=3, top_k=3)
+
+
+def _textrank_sql(
+    iters: int = 3,
+    scale: int = 10**12,
+    d_pct: int = 85,
+    min_overlap: int = 2,
+    max_token_sents: int = 1000,
+    top_k: int = 3,
+) -> str:
+    parts = [
+        f"""
+WITH punct AS (
+  SELECT doc_id, regexp_replace(text, '\\b(table|row)\\b', '\\1.', 'g') AS text
+  FROM documents WHERE text IS NOT NULL
+),
+marked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(
+               trim(regexp_replace(
+                 regexp_replace(text, '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '\\s+', ' ', 'g')),
+               '([.!?]+) ', '\\1' || chr(1), 'g'),
+             chr(1)),
+           s -> trim(s) <> '') AS sents
+  FROM punct
+),
+sents AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(sents, 1) - 1 AS sent_id, unnest(sents) AS sentence
+  FROM marked
+),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sent_id, tok FROM (
+    SELECT doc_id, sent_id,
+           unnest(string_split(trim(regexp_replace(lower(sentence), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+    FROM sents)
+  WHERE length(tok) >= 2
+),
+keep AS (
+  SELECT doc_id, tok FROM toks GROUP BY doc_id, tok HAVING count(*) <= {max_token_sents}
+),
+ct AS (SELECT t.doc_id, t.sent_id, t.tok FROM toks t JOIN keep k ON t.doc_id = k.doc_id AND t.tok = k.tok),
+ov AS (
+  SELECT a.doc_id, a.sent_id AS sa, b.sent_id AS sb
+  FROM ct a JOIN ct b ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sent_id < b.sent_id
+  GROUP BY 1, 2, 3 HAVING count(*) >= {min_overlap}
+),
+edges AS MATERIALIZED (
+  SELECT doc_id, sa AS src, sb AS dst FROM ov
+  UNION ALL SELECT doc_id, sb, sa FROM ov
+),
+nodes AS MATERIALIZED (SELECT doc_id, sent_id FROM sents),
+ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM nodes GROUP BY doc_id),
+deg AS (SELECT doc_id, src, count(*) AS deg FROM edges GROUP BY 1, 2),
+r0 AS (SELECT nd.doc_id, nd.sent_id, CAST({scale} // g.n AS BIGINT) AS r
+       FROM nodes nd JOIN ng g ON nd.doc_id = g.doc_id)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.doc_id, e.dst AS sent_id, SUM(r.r // d.deg) AS s
+        FROM edges e JOIN r{p} r ON e.doc_id = r.doc_id AND e.src = r.sent_id
+                     JOIN deg d ON e.doc_id = d.doc_id AND e.src = d.src
+        GROUP BY 1, 2),
+dg{i} AS (SELECT r.doc_id, CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS m
+         FROM r{p} r LEFT JOIN deg d ON r.doc_id = d.doc_id AND r.sent_id = d.src
+         WHERE d.src IS NULL GROUP BY r.doc_id),
+r{i} AS (SELECT nd.doc_id, nd.sent_id,
+        CAST((({100 - d_pct} * {scale}) // (100 * g.n))
+             + ({d_pct} * (COALESCE(c.s, 0) + COALESCE(dg.m, 0) // g.n)) // 100
+        AS BIGINT) AS r
+       FROM nodes nd JOIN ng g ON nd.doc_id = g.doc_id
+       LEFT JOIN c{i} c ON nd.doc_id = c.doc_id AND nd.sent_id = c.sent_id
+       LEFT JOIN dg{i} dg ON nd.doc_id = dg.doc_id)"""
+        )
+    parts.append(
+        f""",
+ranked AS (
+  SELECT s.doc_id, s.sent_id, s.sentence, r.r AS rank_units,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY r.r DESC, s.sent_id ASC) AS rn
+  FROM sents s JOIN r{iters} r ON s.doc_id = r.doc_id AND s.sent_id = r.sent_id
+)
+SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}"""
+    )
+    return "".join(parts)
+
+
+_TEXTRANK_SQL = _textrank_sql()
+
+
 def _hll_distinct_events(spark, sf):
     """HyperLogLog distinct users per event_type (ops/sketch.hll_sketch +
     hll_estimate, p=6 -> 64 registers): the constant-size cousin of
@@ -5714,6 +5822,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_emb": _pq_topk_emb,
         "distmult_train_kg": _distmult_train_kg,
         "hll_distinct_events": _hll_distinct_events,
+        "textrank_docs": _textrank_docs,
     }
 
 
@@ -5796,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_emb": _PQ_TOPK_SQL,
         "distmult_train_kg": _DISTMULT_TRAIN_SQL,
         "hll_distinct_events": _HLL_DISTINCT_SQL,
+        "textrank_docs": _TEXTRANK_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
