@@ -5360,6 +5360,103 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _rake_docs(spark, sf):
+    """RAKE keyword extraction (ops/rake.rake_keywords): candidate phrases
+    between stopword/sentence boundaries via the gaps-and-islands window,
+    word scores (1000*deg) div freq in exact milli-units, phrase = sum of
+    member-word scores, top-3 per doc. Same punctuation injection as
+    split_sentences_docs; the oracle replays segmentation, the islands
+    window, deg/freq, and the floor-division scores bit-for-bit."""
+    from kgspark.ops.rake import rake_keywords
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"\b(table|row)\b", "$1.").alias("text"),
+    )
+    return rake_keywords(d, top_k=3)
+
+
+def _rake_sql(max_phrase_len: int = 5, top_k: int = 3) -> str:
+    from kgspark.ops.rake import DEFAULT_STOPWORDS
+
+    stoplist = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+    return f"""
+WITH punct AS (
+  SELECT doc_id, regexp_replace(text, '\\b(table|row)\\b', '\\1.', 'g') AS text
+  FROM documents WHERE text IS NOT NULL
+),
+marked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(
+               trim(regexp_replace(
+                 regexp_replace(text, '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '\\s+', ' ', 'g')),
+               '([.!?]+) ', '\\1' || chr(1), 'g'),
+             chr(1)),
+           s -> trim(s) <> '') AS sents
+  FROM punct
+),
+sents AS (
+  SELECT doc_id, generate_subscripts(sents, 1) - 1 AS sent_id, unnest(sents) AS sentence
+  FROM marked
+),
+toks AS (
+  SELECT doc_id, sent_id, pos - 1 AS pos, tok FROM (
+    SELECT doc_id, sent_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+    FROM (SELECT doc_id, sent_id,
+                 string_split(trim(regexp_replace(lower(sentence), '[^a-z0-9]+', ' ', 'g')), ' ') AS arr
+          FROM sents))
+  WHERE tok <> ''
+),
+grps AS (
+  SELECT doc_id, sent_id, pos, tok, stp,
+         SUM(CASE WHEN stp THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, sent_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (SELECT *, tok IN ({stoplist}) AS stp FROM toks)
+),
+words AS MATERIALIZED (SELECT doc_id, sent_id, grp, pos, tok FROM grps WHERE NOT stp),
+phrases AS MATERIALIZED (
+  SELECT doc_id, sent_id, grp, count(*) AS n_words,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY 1, 2, 3
+),
+occur AS MATERIALIZED (
+  SELECT w.doc_id, w.sent_id, w.grp, w.tok, p.n_words
+  FROM words w JOIN phrases p
+    ON w.doc_id = p.doc_id AND w.sent_id = p.sent_id AND w.grp = p.grp
+),
+wscore AS (
+  SELECT doc_id, tok, (1000 * SUM(n_words)) // count(*) AS ws
+  FROM occur GROUP BY 1, 2
+),
+pscore AS (
+  SELECT o.doc_id, o.sent_id, o.grp, SUM(s.ws) AS score_milli
+  FROM occur o JOIN wscore s ON o.doc_id = s.doc_id AND o.tok = s.tok
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT p.doc_id, p.phrase, MAX(p.n_words) AS n_words, MAX(ps.score_milli) AS score_milli
+  FROM phrases p JOIN pscore ps
+    ON p.doc_id = ps.doc_id AND p.sent_id = ps.sent_id AND p.grp = ps.grp
+  WHERE p.n_words <= {max_phrase_len}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, phrase, n_words, score_milli,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, phrase ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+       CAST(score_milli AS BIGINT) AS score_milli, rn
+FROM ranked WHERE rn <= {top_k}
+"""
+
+
+_RAKE_SQL = _rake_sql()
+
+
 def _hll_distinct_events(spark, sf):
     """HyperLogLog distinct users per event_type (ops/sketch.hll_sketch +
     hll_estimate, p=6 -> 64 registers): the constant-size cousin of
@@ -5823,6 +5920,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distmult_train_kg": _distmult_train_kg,
         "hll_distinct_events": _hll_distinct_events,
         "textrank_docs": _textrank_docs,
+        "rake_docs": _rake_docs,
     }
 
 
@@ -5906,6 +6004,7 @@ def oracle_sql() -> dict[str, str]:
         "distmult_train_kg": _DISTMULT_TRAIN_SQL,
         "hll_distinct_events": _HLL_DISTINCT_SQL,
         "textrank_docs": _TEXTRANK_SQL,
+        "rake_docs": _RAKE_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
