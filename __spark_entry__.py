@@ -5360,6 +5360,73 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _entity_pmi_docs(spark, sf):
+    """Entity co-occurrence PMI (extract/cooccur.entity_cooccurrence) over
+    Aho-Corasick mention detection (extract/mentions.detect_mentions):
+    the candidate-relatedness-edge generator — document-level
+    co-occurrence counts scored as millinat PMI (each ln taken once per
+    bigint count and rounded, the token_entropy discipline) plus 6-dp
+    NPMI. The oracle replays detection (contains), the per-doc cap, the
+    pair join, and every rounded log term."""
+    from kgspark.extract.cooccur import entity_cooccurrence
+    from kgspark.extract.mentions import detect_mentions
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    alias_df = spark.createDataFrame(
+        [
+            (w, "Term", w)
+            for w in ["spark", "join", "window", "merge", "batch", "stream", "vector", "hash"]
+        ],
+        "alias string, label string, name string",
+    )
+    m = detect_mentions(d, alias_df).select(
+        F.col("url").cast("long").alias("doc_id"), F.col("alias").alias("entity")
+    )
+    return entity_cooccurrence(m, min_pairs=2, max_entities_per_doc=200)
+
+
+_ENTITY_PMI_SQL = """
+WITH hits AS (
+  SELECT DISTINCT doc_id, kw AS entity
+  FROM documents,
+       (SELECT 'spark' AS kw UNION ALL SELECT 'join' UNION ALL SELECT 'window'
+        UNION ALL SELECT 'merge' UNION ALL SELECT 'batch' UNION ALL SELECT 'stream'
+        UNION ALL SELECT 'vector' UNION ALL SELECT 'hash') k
+  WHERE contains(text, kw)
+),
+small AS (SELECT doc_id FROM hits GROUP BY doc_id HAVING count(*) <= 200),
+kept AS MATERIALIZED (SELECT h.doc_id, h.entity FROM hits h JOIN small s ON h.doc_id = s.doc_id),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM kept),
+na AS (SELECT entity, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY entity),
+pairs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sc AS (
+  SELECT p.entity_a, p.entity_b, p.n_ab, x.n AS n_a, y.n AS n_b,
+         (SELECT n_docs FROM nd) AS n_docs
+  FROM pairs p JOIN na x ON p.entity_a = x.entity JOIN na y ON p.entity_b = y.entity
+),
+t AS (
+  SELECT *,
+         CAST(round(ln(n_ab) * 1000) AS BIGINT)
+           + CAST(round(ln(n_docs) * 1000) AS BIGINT)
+           - CAST(round(ln(n_a) * 1000) AS BIGINT)
+           - CAST(round(ln(n_b) * 1000) AS BIGINT) AS pmi_milli,
+         CAST(round(ln(n_docs) * 1000) AS BIGINT)
+           - CAST(round(ln(n_ab) * 1000) AS BIGINT) AS dnm
+  FROM sc
+)
+SELECT entity_a, entity_b, n_ab, n_a, n_b, n_docs, pmi_milli,
+       CASE WHEN dnm = 0 THEN 1.0
+            ELSE round(pmi_milli / CAST(dnm AS DOUBLE), 6) END AS npmi
+FROM t
+"""
+
+
 def _rake_docs(spark, sf):
     """RAKE keyword extraction (ops/rake.rake_keywords): candidate phrases
     between stopword/sentence boundaries via the gaps-and-islands window,
@@ -5921,6 +5988,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_events": _hll_distinct_events,
         "textrank_docs": _textrank_docs,
         "rake_docs": _rake_docs,
+        "entity_pmi_docs": _entity_pmi_docs,
     }
 
 
@@ -6005,6 +6073,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_events": _HLL_DISTINCT_SQL,
         "textrank_docs": _TEXTRANK_SQL,
         "rake_docs": _RAKE_SQL,
+        "entity_pmi_docs": _ENTITY_PMI_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
