@@ -5360,6 +5360,80 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _wl_roles_tpch(spark, sf):
+    """1-WL color refinement (ops/wl.wl_refine, 2 rounds) over the directed
+    TPC-H entity graph — structural-role labels: all customers of one
+    nation+segment shape converge to one label, nations separate from
+    segments by in/out digests. Commutative (sum, count) multiset digest
+    (no collect_list — hub-safe); the oracle replays the md5-prefix fold
+    and both rounds bit-for-bit."""
+    from kgspark.ops.wl import wl_refine
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    s, r = _t(spark, sf, "supplier"), _t(spark, sf, "region")
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(
+            c.select(F.col("c_name").alias("src"), F.col("c_mktsegment").alias("dst"))
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey)
+            .select(F.col("s_name").alias("src"), F.col("n_name").alias("dst"))
+        )
+        .unionByName(
+            n.join(r, n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+    )
+    return wl_refine(edges, rounds=2).withColumnRenamed("name", "node")
+
+
+def _wl_sql(rounds: int = 2) -> str:
+    digits = "0123456789abcdef"
+
+    def term(x: str) -> str:
+        exp = " + ".join(
+            f"CAST(strpos('{digits}', substr(md5({x}), {j + 1}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        return f"(({exp}) % 4294967296)"
+
+    parts = [
+        """
+WITH edges AS MATERIALIZED (
+  SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT c_name, c_mktsegment FROM customer
+  UNION ALL SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+nodes AS MATERIALIZED (SELECT src AS name FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT name, '.' AS lab FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+od{i} AS (SELECT e.src AS name, SUM({term('l.lab')}) AS s, COUNT(*) AS c
+         FROM edges e JOIN l{p} l ON e.dst = l.name GROUP BY e.src),
+id{i} AS (SELECT e.dst AS name, SUM({term('l.lab')}) AS s, COUNT(*) AS c
+         FROM edges e JOIN l{p} l ON e.src = l.name GROUP BY e.dst),
+l{i} AS (SELECT n.name,
+        md5(concat_ws('|', l.lab,
+            CAST(COALESCE(o.s, 0) AS VARCHAR), CAST(COALESCE(o.c, 0) AS VARCHAR),
+            CAST(COALESCE(i.s, 0) AS VARCHAR), CAST(COALESCE(i.c, 0) AS VARCHAR))) AS lab
+       FROM nodes n JOIN l{p} l ON n.name = l.name
+       LEFT JOIN od{i} o ON n.name = o.name
+       LEFT JOIN id{i} i ON n.name = i.name)"""
+        )
+    parts.append(f"\nSELECT name AS node, lab AS wl_label FROM l{rounds}")
+    return "".join(parts)
+
+
+_WL_ROLES_SQL = _wl_sql()
+
+
 def _entity_pmi_docs(spark, sf):
     """Entity co-occurrence PMI (extract/cooccur.entity_cooccurrence) over
     Aho-Corasick mention detection (extract/mentions.detect_mentions):
@@ -5989,6 +6063,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": _textrank_docs,
         "rake_docs": _rake_docs,
         "entity_pmi_docs": _entity_pmi_docs,
+        "wl_roles_tpch": _wl_roles_tpch,
     }
 
 
@@ -6074,6 +6149,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_docs": _TEXTRANK_SQL,
         "rake_docs": _RAKE_SQL,
         "entity_pmi_docs": _ENTITY_PMI_SQL,
+        "wl_roles_tpch": _WL_ROLES_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
