@@ -5360,6 +5360,62 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _graph_stats_tpch(spark, sf):
+    """Whole-graph reciprocity + degree assortativity
+    (ops/graph_algs.graph_stats) over a TPC-H entity graph with the
+    nation<->region tier deliberately reciprocal (region->nation union'd
+    reversed) so the reciprocity counter has signal. Exact bigint moment
+    sums, integer-ppm reciprocity, one rounded float for the Pearson
+    correlation — the oracle replays every sum and the final expression."""
+    from kgspark.ops.graph_algs import graph_stats
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    nr = n.join(r, n.n_regionkey == r.r_regionkey)
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(nr.select(F.col("n_name").alias("src"), F.col("r_name").alias("dst")))
+        .unionByName(nr.select(F.col("r_name").alias("src"), F.col("n_name").alias("dst")))
+    )
+    return graph_stats(edges)
+
+
+_GRAPH_STATS_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL SELECT r_name, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  ) WHERE src <> dst
+),
+recip AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+       FROM (SELECT src AS nd FROM e UNION SELECT dst FROM e)),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY dst),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst
+)
+SELECT nn.n_nodes, mo.n_edges, recip.n_reciprocal,
+       (1000000 * recip.n_reciprocal) // mo.n_edges AS reciprocity_ppm,
+       CASE WHEN (n_edges * sxx - sx * sx) = 0 OR (n_edges * syy - sy * sy) = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+       END AS assortativity
+FROM mo, recip, nn
+"""
+
+
 def _wl_roles_tpch(spark, sf):
     """1-WL color refinement (ops/wl.wl_refine, 2 rounds) over the directed
     TPC-H entity graph — structural-role labels: all customers of one
@@ -6064,6 +6120,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_docs": _rake_docs,
         "entity_pmi_docs": _entity_pmi_docs,
         "wl_roles_tpch": _wl_roles_tpch,
+        "graph_stats_tpch": _graph_stats_tpch,
     }
 
 
@@ -6150,6 +6207,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_docs": _RAKE_SQL,
         "entity_pmi_docs": _ENTITY_PMI_SQL,
         "wl_roles_tpch": _WL_ROLES_SQL,
+        "graph_stats_tpch": _GRAPH_STATS_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -990,3 +990,88 @@ def path_features_2hop(
     if pairs is not None:
         out = out.join(cand, ["a", "b"], "left_semi")
     return out
+
+
+def graph_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Whole-graph structural summary: one row
+    ``(n_nodes, n_edges, n_reciprocal, reciprocity_ppm, assortativity)``
+    over the distinct directed edge set (self-loops excluded).
+
+    - ``reciprocity_ppm``: share of directed edges whose reverse also
+      exists, in exact integer ppm ``(10**6 * n_reciprocal) div n_edges``
+      — the link-spam / citation-ring signal on web graphs (organic link
+      graphs are mostly one-way; mutual-link farms are not).
+    - ``assortativity``: directed degree assortativity (Newman 2002) —
+      the Pearson correlation over edges of (out-degree of source,
+      in-degree of target); positive = hubs link to hubs, negative =
+      hub-and-spoke. All five moment sums are EXACT bigints (the
+      stats_moments discipline), one float expression at the end rounded
+      to 6 dp — partitioning-invariant and replayed by the oracle; 0.0
+      by convention when either variance is zero. Exactness bound:
+      ``n_edges * max_degree**2 < 2**63`` (beyond that, pre-aggregate
+      per degree-pair first or accept double sums — documented, not
+      silently wrong: bigint overflow raises in both engines).
+
+    Plan: distinct + self-join on the reversed key for reciprocity, two
+    degree aggregates + two equi-joins for the moment row — every step
+    keyed by node or edge, map-side combinable, one 1-row result.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("_s"),
+            F.col(dst).cast("string").alias("_d"),
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    recip = (
+        e.join(rev, ["_s", "_d"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    nn = (
+        e.select(F.col("_s").alias("n"))
+        .unionByName(e.select(F.col("_d").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_x"))
+    indeg = e.groupBy("_d").agg(F.count(F.lit(1)).alias("_y"))
+    m = (
+        e.join(outdeg, "_s")
+        .join(indeg, "_d")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+    )
+    num = F.col("n_edges") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = F.col("n_edges") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("n_edges") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    assort = F.when((vx == 0) | (vy == 0), F.lit(0.0)).otherwise(
+        F.round(
+            num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_reciprocal",
+            F.expr("((1000000 * n_reciprocal) div n_edges)::bigint").alias(
+                "reciprocity_ppm"
+            ),
+            assort.alias("assortativity"),
+        )
+    )
