@@ -5360,6 +5360,56 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _kwic_docs(spark, sf):
+    """KWIC concordance (extract/mentions.mention_snippets): one row per
+    alias OCCURRENCE with 0-based offset and 18-char contexts — the
+    annotator surface behind mention detection (only snippets leave the
+    cluster). Pure JVM: positions from a running-length window over the
+    split parts; the oracle replays the split, the window sum, and both
+    substrings exactly."""
+    from kgspark.extract.mentions import mention_snippets
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    alias_df = spark.createDataFrame(
+        [(w, "Term", w) for w in ["spark", "join", "window", "merge"]],
+        "alias string, label string, name string",
+    )
+    out = mention_snippets(d, alias_df, window=18)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "alias", "pos", "left_ctx", "right_ctx",
+    )
+
+
+_KWIC_SQL = """
+WITH al AS (SELECT 'spark' AS alias UNION ALL SELECT 'join'
+            UNION ALL SELECT 'window' UNION ALL SELECT 'merge'),
+hits AS (
+  SELECT d.doc_id, a.alias, d.text
+  FROM documents d, al a
+  WHERE d.text IS NOT NULL AND contains(d.text, a.alias)
+),
+parts AS (
+  SELECT doc_id, alias, text,
+         generate_subscripts(p, 1) - 1 AS i, unnest(p) AS part, len(p) - 1 AS n
+  FROM (SELECT doc_id, alias, text, string_split(text, alias) AS p FROM hits)
+),
+occ AS (
+  SELECT doc_id, alias, text,
+         SUM(length(part)) OVER (PARTITION BY doc_id, alias ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING)
+           + i * length(alias) AS pos
+  FROM parts WHERE i < n
+)
+SELECT doc_id, alias, CAST(pos AS BIGINT) AS pos,
+       substr(text, CAST(GREATEST(pos - 18 + 1, 1) AS INT), CAST(LEAST(pos, 18) AS INT)) AS left_ctx,
+       substr(text, CAST(pos + length(alias) + 1 AS INT), 18) AS right_ctx
+FROM occ
+"""
+
+
 def _graph_stats_tpch(spark, sf):
     """Whole-graph reciprocity + degree assortativity
     (ops/graph_algs.graph_stats) over a TPC-H entity graph with the
@@ -6121,6 +6171,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi_docs": _entity_pmi_docs,
         "wl_roles_tpch": _wl_roles_tpch,
         "graph_stats_tpch": _graph_stats_tpch,
+        "kwic_docs": _kwic_docs,
     }
 
 
@@ -6208,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pmi_docs": _ENTITY_PMI_SQL,
         "wl_roles_tpch": _WL_ROLES_SQL,
         "graph_stats_tpch": _GRAPH_STATS_SQL,
+        "kwic_docs": _KWIC_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -278,3 +278,73 @@ def mention_join_stats(
     for df in per_len[1:]:
         out = out.unionByName(df)
     return out
+
+
+def mention_snippets(
+    pages: DataFrame,
+    alias_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    *,
+    window: int = 30,
+) -> DataFrame:
+    """KWIC (keyword-in-context) concordance: one row PER OCCURRENCE of
+    each alias — ``(id, alias, pos, left_ctx, right_ctx)`` with ``pos``
+    the 0-based character offset and ``window``-char contexts either
+    side. The human-review surface behind mention detection: an
+    annotator (or an LLM labeling pass) judges candidate entity links
+    from the snippet, never the whole page — so only snippets, not
+    documents, leave the cluster.
+
+    Pure JVM, no Python tier: occurrence positions come from splitting
+    on the alias (regex-escaped) — occurrence i sits after the first i
+    parts, so its offset is a running sum of part lengths plus
+    i * len(alias), computed as ONE window over (doc, alias, part_idx)
+    riding the explode. Non-overlapping left-to-right occurrences —
+    the same convention as the replace-count oracle (n_hits) so
+    counts agree. Aliases are dimension-scale: the pairing is a
+    broadcast NLJ gated by ``contains`` (the j5/keyword_contains_join
+    shape); only matching (doc, alias) rows explode.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window as W
+
+    esc = F.regexp_replace(
+        F.col("alias"), r"([.^$|?*+()\[\]{}\\])", r"\\$1"
+    )
+    text = F.col(text_col)
+    hits = (
+        pages.select(F.col(id_col).alias("_id"), text.alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .join(F.broadcast(alias_df.select("alias").distinct()))
+        .filter(F.col("_t").contains(F.col("alias")))
+        .select("_id", "alias", "_t", F.split("_t", esc).alias("_parts"))
+    )
+    parts = hits.select(
+        "_id", "alias", "_t",
+        F.posexplode("_parts").alias("_i", "_part"),
+        (F.size("_parts") - 1).alias("_n"),
+    ).filter(F.col("_i") < F.col("_n"))
+    w = (
+        W.partitionBy("_id", "alias")
+        .orderBy("_i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pos = (
+        F.sum(F.length("_part")).over(w)
+        + F.col("_i") * F.length("alias")
+    ).alias("pos")
+    out = parts.select("_id", "alias", "_t", pos)
+    left_start = F.greatest(F.col("pos") - window + 1, F.lit(1))
+    return out.select(
+        F.col("_id").alias(id_col),
+        "alias",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("_t").substr(
+            left_start, F.least(F.col("pos"), F.lit(window))
+        ).alias("left_ctx"),
+        F.col("_t").substr(
+            F.col("pos") + F.length("alias") + 1, F.lit(window)
+        ).alias("right_ctx"),
+    )
