@@ -5360,6 +5360,39 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _event_transitions(spark, sf):
+    """First-order user-journey transition matrix
+    (ops/behavior.event_transitions): per-user lag window (total order
+    by ts then event_id — the never-rand tie-break), map-side-combined
+    transition counts, exact integer-ppm probabilities. The oracle
+    replays the lag, both aggregates, and the floor division."""
+    from kgspark.ops.behavior import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+pairs AS (
+  SELECT prev AS src_event, event_type AS dst_event,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT src_event, CAST(SUM(n_transitions) AS BIGINT) AS n_from_src
+  FROM pairs GROUP BY 1
+)
+SELECT p.src_event, p.dst_event, p.n_transitions, t.n_from_src,
+       (1000000 * p.n_transitions) // t.n_from_src AS p_ppm
+FROM pairs p JOIN totals t ON p.src_event = t.src_event
+"""
+
+
 def _kwic_docs(spark, sf):
     """KWIC concordance (extract/mentions.mention_snippets): one row per
     alias OCCURRENCE with 0-based offset and 18-char contexts — the
@@ -6172,6 +6205,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_roles_tpch": _wl_roles_tpch,
         "graph_stats_tpch": _graph_stats_tpch,
         "kwic_docs": _kwic_docs,
+        "event_transitions": _event_transitions,
     }
 
 
@@ -6260,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_roles_tpch": _WL_ROLES_SQL,
         "graph_stats_tpch": _GRAPH_STATS_SQL,
         "kwic_docs": _KWIC_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,
