@@ -144,3 +144,48 @@ def wl_signature(
         )
     ).alias("wl_signature")
     return agg.select(*keys, sig)
+
+
+def wl_quotient(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Quotient (summary) graph under a role labeling: collapse every
+    node to its ``wl_label`` and count collapsed edges —
+    ``(src_role, dst_role, n_edges, n_src_nodes, n_dst_nodes)``. After
+    ``wl_refine`` this is graph summarization (Tian et al. SIGMOD'08
+    SNAP-style): a billion-edge KG reduces to a role-level schema
+    diagram whose size is bounded by the number of roles squared —
+    the inspection artifact for "what structure did extraction build".
+
+    Two label equi-joins + one aggregate, all map-side combinable; the
+    per-role node counts join onto the (roles x roles)-bounded table,
+    never the edge list.
+    """
+    lab = labels.select(
+        F.col("name").alias("_n"), F.col("wl_label").alias("_l")
+    )
+    sizes = lab.groupBy(F.col("_l").alias("_r")).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    q = (
+        edges.select(
+            F.col(src).cast("string").alias("_s"),
+            F.col(dst).cast("string").alias("_d"),
+        )
+        .join(lab.withColumnRenamed("_n", "_s"), "_s")
+        .withColumnRenamed("_l", "src_role")
+        .join(lab.withColumnRenamed("_n", "_d"), "_d")
+        .withColumnRenamed("_l", "dst_role")
+        .groupBy("src_role", "dst_role")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        q.join(sizes.withColumnRenamed("_r", "src_role"), "src_role")
+        .withColumnRenamed("_sz", "n_src_nodes")
+        .join(sizes.withColumnRenamed("_r", "dst_role"), "dst_role")
+        .withColumnRenamed("_sz", "n_dst_nodes")
+        .select("src_role", "dst_role", "n_edges", "n_src_nodes", "n_dst_nodes")
+    )

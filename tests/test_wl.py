@@ -120,3 +120,22 @@ def test_partitioning_invariance(spark, edges_df):
 def test_validation(spark, edges_df):
     with pytest.raises(ValueError, match="rounds"):
         wl_refine(edges_df, rounds=0)
+
+
+def test_quotient_graph(spark, edges_df):
+    from kgspark.ops.wl import wl_quotient
+
+    labels = wl_refine(edges_df, rounds=2)
+    q = wl_quotient(edges_df, labels).collect()
+    lab = {r["name"]: r["wl_label"] for r in labels.collect()}
+    # roles after 2 rounds: {a,b}, {c}, {m}, {n}, {z}
+    assert lab["a"] == lab["b"]
+    got = {(r["src_role"], r["dst_role"]): (r["n_edges"], r["n_src_nodes"], r["n_dst_nodes"]) for r in q}
+    # a->m and b->m collapse to one quotient edge with n_edges=2
+    assert got[(lab["a"], lab["m"])] == (2, 2, 1)
+    assert got[(lab["c"], lab["n"])] == (1, 1, 1)
+    assert got[(lab["m"], lab["z"])] == (1, 1, 1)
+    assert got[(lab["n"], lab["z"])] == (1, 1, 1)
+    assert len(got) == 4
+    # quotient edge counts conserve the original edge count
+    assert sum(v[0] for v in got.values()) == 5
