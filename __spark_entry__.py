@@ -6181,6 +6181,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         # --- NEW in r04 after the window froze: front in r05 with the
         #     r02 list (never driver-checked until then) ---
+        # r05 ROTATION PLAN (written r04; 56 candidates for 50 slots).
+        # Priority order for the final window:
+        #   1. The 28 never-driver-checked r04 queries (everything from
+        #      bloom_decontam_docs to the end of this dict) — without an
+        #      r05 row they end the project with pytest-only evidence.
+        #   2. The r02-latest re-front list (s1_scan_projection ..
+        #      nfc_normalize, 28 entries above) MINUS the ones with an
+        #      independent hard pin: s1_scan_projection /
+        #      p2_rename_projection (golden-parity pytest, code
+        #      unchanged), kmv_distinct / session_window_batch /
+        #      simhash_portable (value-hash oracles rehearsed every
+        #      pytest run). That trims 2+ slots; drop oldest-coverage
+        #      demos (having_agg, pivot_events, unpivot_part) last if
+        #      the count still exceeds 50.
+        # r03/r04-green queries behind the window stay within the
+        # two-round freshness policy without slots.
         "bloom_decontam_docs": _bloom_decontam_docs,
         "dsir_scores_docs": _dsir_scores_docs,
         "weighted_sample_docs": _weighted_sample_docs,
