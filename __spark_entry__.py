@@ -5360,6 +5360,60 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _decontaminate_spans_docs(spark, sf):
+    """Surgical span-level decontamination
+    (ops/curation.contaminated_spans): eval set = the first 12 tokens of
+    every 25th document (a benchmark quoting web text); the query locates
+    the exact 8-gram-overlap intervals in the corpus instead of dropping
+    whole documents. The oracle replays gram hashing, the broadcast eval
+    probe, and the islands merge."""
+    from kgspark.ops.curation import contaminated_spans
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    ev = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text")
+    )
+    return contaminated_spans(d, ev, n=8, hash="md5")
+
+
+_DECONTAM_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i : i + 7], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 6, 1))) AS i) u
+),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(e, i, i + 7), ' ')) AS h
+  FROM (SELECT t[1 : 12] AS e FROM toks WHERE doc_id % 25 = 0),
+       LATERAL (SELECT unnest(range(1, greatest(len(e) - 6, 1))) AS i) u
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN ev USING (h)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end
+FROM islands GROUP BY doc_id, island
+"""
+
+
 def _event_transitions(spark, sf):
     """First-order user-journey transition matrix
     (ops/behavior.event_transitions): per-user lag window (total order
@@ -6222,6 +6276,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats_tpch": _graph_stats_tpch,
         "kwic_docs": _kwic_docs,
         "event_transitions": _event_transitions,
+        "decontaminate_spans_docs": _decontaminate_spans_docs,
     }
 
 
@@ -6311,6 +6366,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats_tpch": _GRAPH_STATS_SQL,
         "kwic_docs": _KWIC_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "decontaminate_spans_docs": _DECONTAM_SPANS_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

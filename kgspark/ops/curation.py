@@ -560,6 +560,14 @@ def repeated_spans(
         .select("_h")
     )
     hits = grams.join(hot, "_h", "left_semi").select(id_col, "pos")
+    return _merge_hit_islands(hits, id_col, n)
+
+
+def _merge_hit_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, pos) n-gram hit positions -> merged 1-based token intervals
+    ``(id, span_start, span_end)``: the gaps-and-islands window shared by
+    repeated_spans and contaminated_spans (one window per document —
+    running max of interval end splits islands)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -577,6 +585,54 @@ def repeated_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    hash: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every training
+    document that shares an eval n-gram (``decontaminate`` — the
+    GPT-3/Llama document-level rule, which at 13 tokens of overlap
+    discards entire books), locate the exact token intervals that
+    overlap the evaluation set — ``(id, span_start, span_end)``,
+    overlapping/adjacent hits merged — and feed them to
+    ``trim_repeated_spans(docs, spans)`` to excise the leaked material
+    while keeping the rest of the document. The span-removal shape of
+    Lee et al. applied to eval overlap instead of corpus repeats.
+
+    Same 100 TB plan as ``decontaminate``: the distinct eval-hash set
+    broadcasts (or shuffle-joins with ``broadcast_eval=False``), so the
+    corpus never shuffles for the probe; only (id, pos) HIT rows — rare
+    by construction — reach the per-document islands window
+    (``_merge_hit_islands``, the repeated_spans machinery).
+    """
+    grams = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(ngram_hashes(F.col(text_col), n=n, hash=hash)).alias(
+                "_p0", "_h"
+            ),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_h")
+    )
+    ev = (
+        eval_df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(ngram_hashes(F.col(text_col), n=n, hash=hash)).alias("_h")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = grams.join(ev, "_h", "left_semi").select(id_col, "pos")
+    return _merge_hit_islands(hits, id_col, n)
 
 
 def trim_repeated_spans(
