@@ -5360,6 +5360,42 @@ SELECT doc_id, sent_id, sentence, rank_units, rn FROM ranked WHERE rn <= {top_k}
 _TEXTRANK_SQL = _textrank_sql()
 
 
+def _ngram_novelty_docs(spark, sf):
+    """Per-doc n-gram novelty (ops/curation.ngram_novelty): fraction of a
+    document's 5-grams that are corpus-unique, exact integer ppm. No
+    join-back: corpus-count-1 grams re-aggregate to their single owner
+    via min(doc_id) carried through the count aggregate. The oracle
+    replays gram hashing, the unique set, and the floor division."""
+    from kgspark.ops.curation import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"), n=5, hash="md5")
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+totals AS (
+  SELECT doc_id, CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_grams
+  FROM toks WHERE len(t) >= 5
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i : i + 4], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+),
+uniq AS (
+  SELECT mn AS doc_id, CAST(count(*) AS BIGINT) AS n_unique FROM (
+    SELECT h, count(*) AS c, min(doc_id) AS mn FROM grams GROUP BY h
+  ) WHERE c = 1 GROUP BY mn
+)
+SELECT t.doc_id, t.n_grams, COALESCE(u.n_unique, 0) AS n_unique,
+       (1000000 * COALESCE(u.n_unique, 0)) // t.n_grams AS novelty_ppm
+FROM totals t LEFT JOIN uniq u ON t.doc_id = u.doc_id
+"""
+
+
 def _decontaminate_spans_docs(spark, sf):
     """Surgical span-level decontamination
     (ops/curation.contaminated_spans): eval set = the first 12 tokens of
@@ -6277,6 +6313,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_docs": _kwic_docs,
         "event_transitions": _event_transitions,
         "decontaminate_spans_docs": _decontaminate_spans_docs,
+        "ngram_novelty_docs": _ngram_novelty_docs,
     }
 
 
@@ -6367,6 +6404,7 @@ def oracle_sql() -> dict[str, str]:
         "kwic_docs": _KWIC_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "decontaminate_spans_docs": _DECONTAM_SPANS_SQL,
+        "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -682,6 +682,62 @@ def trim_repeated_spans(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-document n-gram novelty — the originality complement of
+    ``repeated_spans``: ``(id, n_grams, n_unique, novelty_ppm)`` where
+    ``n_unique`` counts the document's word n-grams that occur EXACTLY
+    ONCE in the whole corpus and ``novelty_ppm = (10**6 * n_unique) div
+    n_grams``. Low novelty = templated/boilerplate/near-dup material
+    even when no single span crosses the repeated_spans threshold; a
+    standing curation-dashboard column next to quality_score. Documents
+    shorter than ``n`` tokens have no grams and are omitted (no signal).
+
+    Plan — NO join-back of the corpus-sized gram table: a gram with
+    corpus count 1 belongs to exactly one document, so the count
+    aggregate carries ``min(id)`` and unique grams re-aggregate straight
+    to their owner — one map-side-combinable groupBy(hash) + one
+    groupBy(id), plus a scan-side per-doc total (array size, no
+    explode). Shuffle volume: distinct gram hashes once, nothing else.
+    """
+    ng = ngram_hashes(F.col(text_col), n=n, hash=hash)
+    # n_grams = size(tokens) - n + 1 arithmetically (== size(ng) by the
+    # ngram_hashes contract) — avoids evaluating the hash transform a
+    # second time just to measure its length
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    totals = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), (F.size(toks) - F.lit(n - 1)).alias("n_grams"))
+        .filter(F.col("n_grams") >= 1)
+    )
+    uniq = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(ng).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(id_col).alias(id_col))
+        .filter(F.col("_c") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        totals.join(uniq, id_col, "left")
+        .withColumn("n_unique", F.coalesce("n_unique", F.lit(0)).cast("long"))
+        .selectExpr(
+            id_col,
+            "n_grams::bigint AS n_grams",
+            "n_unique",
+            "((1000000 * n_unique) div n_grams)::bigint AS novelty_ppm",
+        )
+    )
+
+
 def host_suffixes(col: Column) -> Column:
     """Every dot-suffix of a hostname as one generated array column:
     ``a.b.example.com`` -> ``[a.b.example.com, b.example.com, example.com,
