@@ -33,7 +33,16 @@ def test_no_rdd_usage_in_data_plane():
 def test_no_collect_in_corpus_operators():
     """collect() is allowed only on dimension-scale data (alias dicts, query
     results, lineage); corpus-path modules must not collect."""
-    corpus_modules = ["extract/openie.py", "extract/html.py", "ops/textstats.py"]
+    corpus_modules = [
+        "extract/openie.py",
+        "extract/html.py",
+        "extract/cooccur.py",
+        "ops/textstats.py",
+        "ops/textrank.py",
+        "ops/rake.py",
+        "ops/behavior.py",
+        "ops/wl.py",
+    ]
     for m in corpus_modules:
         src = (PKG / m).read_text("utf-8")
         assert ".collect()" not in src, f"collect() in corpus module {m}"
