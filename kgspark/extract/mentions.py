@@ -317,7 +317,13 @@ def mention_snippets(
     hits = (
         pages.select(F.col(id_col).alias("_id"), text.alias("_t"))
         .filter(F.col("_t").isNotNull())
-        .join(F.broadcast(alias_df.select("alias").distinct()))
+        .join(
+            F.broadcast(
+                alias_df.select("alias")
+                .filter(F.length("alias") > 0)  # '' would split per char
+                .distinct()
+            )
+        )
         .filter(F.col("_t").contains(F.col("alias")))
         .select("_id", "alias", "_t", F.split("_t", esc).alias("_parts"))
     )
