@@ -311,6 +311,19 @@ def hll_estimate(
     per_group = sketches.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), F.lit(b) - F.least("maxrank", F.lit(b))).cast("bigint")).alias("_s"),
         F.count(F.lit(1)).alias("_nreg"),
+        F.max("idx").alias("_mi"),
+    )
+    # p-mismatch guard (the minhash_incremental n_perm precedent): a
+    # sketch built with a LARGER p carries register indexes >= 2**p —
+    # estimating it at this p would silently produce garbage (negative
+    # zero-register count). assert_true keeps the check plan-side and
+    # free on the green path; the filter is always-true but forces it.
+    per_group = per_group.filter(
+        F.assert_true(
+            F.col("_mi") < m,
+            F.lit(f"hll_estimate(p={p}): register idx >= {m} — sketch was "
+                  "built with a larger p than the estimate asks for"),
+        ).isNull()
     )
     zeros = F.lit(m) - F.col("_nreg")
     s_full = F.col("_s") + zeros * F.lit(2**b)

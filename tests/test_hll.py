@@ -78,3 +78,9 @@ def test_partitioning_invariant_and_validation(spark, grouped_df):
     assert x == y
     with pytest.raises(ValueError, match="p must"):
         hll_sketch(grouped_df, "key", ["g"], p=3)
+
+
+def test_p_mismatch_raises(spark, grouped_df):
+    big = hll_sketch(grouped_df, "key", ["g"], p=10)
+    with pytest.raises(Exception, match="larger p"):
+        hll_estimate(big, ["g"], p=6).collect()
