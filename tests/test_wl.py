@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from kgspark.ops.wl import wl_refine, wl_signature
 
@@ -139,3 +140,25 @@ def test_quotient_graph(spark, edges_df):
     assert len(got) == 4
     # quotient edge counts conserve the original edge count
     assert sum(v[0] for v in got.values()) == 5
+
+
+def test_grouped_signature_dedups_subgraphs(spark):
+    # two extracted subgraphs with identical shape (renamed nodes) and one
+    # different: grouped wl_signature collapses the first two
+    rows = []
+    for gid, edges in [
+        ("s1", [("a", "b"), ("c", "b")]),
+        ("s2", [("x", "y"), ("z", "y")]),
+        ("s3", [("p", "q"), ("q", "r")]),
+    ]:
+        for s, d in edges:
+            rows.append((gid, f"{gid}:{s}", f"{gid}:{d}"))
+    df = spark.createDataFrame(rows, "gid string, src string, dst string")
+    labels = wl_refine(df, rounds=2).withColumn(
+        "gid", F.split("name", ":")[0]
+    )
+    sigs = {
+        r["gid"]: r["wl_signature"]
+        for r in wl_signature(labels, group_col="gid").collect()
+    }
+    assert sigs["s1"] == sigs["s2"] != sigs["s3"]
