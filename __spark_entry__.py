@@ -5533,6 +5533,53 @@ FROM occ
 """
 
 
+def _scc_tpch(spark, sf):
+    """Strongly connected components (ops/graph_algs.scc, distributed
+    coloring) over a directed TPC-H entity graph whose nation<->region
+    tier is cyclic: each region + its nations collapses to one SCC, the
+    customer tails stay singletons. The oracle is ALGORITHM-INDEPENDENT:
+    a recursive-CTE transitive closure computes mutual reachability
+    directly and takes the same canonical min-member id."""
+    from kgspark.ops.graph_algs import scc
+
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    nr = n.join(r, n.n_regionkey == r.r_regionkey)
+    edges = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(nr.select(F.col("n_name").alias("src"), F.col("r_name").alias("dst")))
+        .unionByName(nr.select(F.col("r_name").alias("src"), F.col("n_name").alias("dst")))
+    )
+    return scc(edges).withColumnRenamed("name", "node")
+
+
+_SCC_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c_name AS src, n_name AS dst FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL SELECT r_name, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  ) WHERE src <> dst
+),
+nodes AS (SELECT src AS name FROM e UNION SELECT dst FROM e),
+reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.name AS node,
+       CASE WHEN min(m.w) IS NULL THEN n.name
+            ELSE least(n.name, min(m.w)) END AS scc_id
+FROM nodes n LEFT JOIN mutual m ON n.name = m.v
+GROUP BY n.name
+"""
+
+
 def _graph_stats_tpch(spark, sf):
     """Whole-graph reciprocity + degree assortativity
     (ops/graph_algs.graph_stats) over a TPC-H entity graph with the
@@ -6314,6 +6361,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "decontaminate_spans_docs": _decontaminate_spans_docs,
         "ngram_novelty_docs": _ngram_novelty_docs,
+        "scc_tpch": _scc_tpch,
     }
 
 
@@ -6405,6 +6453,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "decontaminate_spans_docs": _DECONTAM_SPANS_SQL,
         "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
+        "scc_tpch": _SCC_SQL,
         "resample_temperature_docs": _RESAMPLE_TEMPERATURE_SQL,
         "minhash_incremental_portable": _MINHASH_INCREMENTAL_SQL,
         "triangle_count_docs": _TRIANGLE_COUNT_SQL,

@@ -1075,3 +1075,134 @@ def graph_stats(
             assort.alias("assortativity"),
         )
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 10,
+    max_prop_iter: int = 30,
+) -> DataFrame:
+    """Strongly connected components of a directed graph -> (name, scc_id)
+    with ``scc_id`` the MIN member id of each SCC (the connected-components
+    canonical-id convention, so the output is algorithm-independent). On a
+    web link graph SCCs are the mutual-link cores (the bowtie's center,
+    link rings, citation cartels) that undirected components cannot see.
+
+    Algorithm — distributed coloring (Orzan 2004 / Slota et al. 2014),
+    all joins and aggregates, no driver loop over data:
+
+    per outer round, on the remaining subgraph:
+      1. FORWARD max-color propagation to fixpoint: color(v) = max hash
+         of any node that reaches v (O(diameter) join rounds). Colors are
+         md5(name), NOT raw ids: the adversarial O(n)-round case of the
+         coloring algorithm is a path with ids decreasing along it, and
+         hashing makes that ordering improbable for any real id scheme
+         (the salting discipline). Output canonicality is unaffected.
+      2. Roots (color == own hash) start a BACKWARD closure restricted to
+         their color class: the nodes that also reach their root — exactly
+         SCC(root), one SCC per color class per round, all in parallel.
+      3. Found SCCs are emitted and removed; the next round recolors.
+
+    Both loops carry an ``until_stable`` action per iteration (the kcore
+    discipline) and RAISE on hitting their caps rather than returning a
+    partial answer. ``localCheckpoint`` per iteration cuts lineage.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if max_prop_iter < 1:
+        raise ValueError(f"max_prop_iter must be >= 1, got {max_prop_iter}")
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("name"))
+        .unionByName(e.select(F.col("dst").alias("name")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done: DataFrame | None = None
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            break
+        color = nodes.select("name", F.md5("name").alias("color"))
+        for _ in range(max_prop_iter):
+            upd = (
+                e.join(color.withColumnRenamed("name", "src"), "src")
+                .groupBy(F.col("dst").alias("name"))
+                .agg(F.max("color").alias("_mc"))
+            )
+            new = (
+                color.join(upd, "name", "left")
+                .select(
+                    "name",
+                    F.greatest("color", F.coalesce("_mc", F.lit(""))).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = (
+                new.join(color.withColumnRenamed("color", "_old"), "name")
+                .filter(F.col("color") != F.col("_old"))
+                .count()
+            )
+            color = new
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: forward coloring did not converge within "
+                f"max_prop_iter={max_prop_iter} rounds; raise it (each round "
+                "is one join + one aggregate)"
+            )
+        members = color.filter(F.md5("name") == F.col("color")).select(
+            "name", F.col("color").alias("_root")
+        ).localCheckpoint()
+        for _ in range(max_prop_iter):
+            nxt = (
+                e.join(
+                    members.withColumnRenamed("name", "dst"), "dst"
+                )  # edge u->v with v a member: u reaches the root via v
+                .select(F.col("src").alias("name"), "_root")
+                .join(color, "name")
+                .filter(F.col("color") == F.col("_root"))  # same class only
+                .select("name", "_root")
+                .distinct()
+                .join(members, ["name"], "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            members = members.unionByName(
+                nxt.select("name", "_root")
+            ).localCheckpoint()
+        else:
+            raise RuntimeError(
+                f"scc: backward closure did not converge within "
+                f"max_prop_iter={max_prop_iter} rounds; raise it"
+            )
+        comp_id = members.groupBy("_root").agg(F.min("name").alias("scc_id"))
+        found = members.join(comp_id, "_root").select("name", "scc_id")
+        done = found if done is None else done.unionByName(found)
+        done = done.localCheckpoint()
+        nodes = nodes.join(found, "name", "left_anti").localCheckpoint()
+        e = (
+            e.join(nodes.withColumnRenamed("name", "src"), "src", "left_semi")
+            .join(nodes.withColumnRenamed("name", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"scc: {nodes.count()} nodes unresolved after max_rounds="
+            f"{max_rounds} outer rounds (long dependency chains); raise "
+            "max_rounds — each round peels one SCC per color class"
+        )
+    assert done is not None
+    return done

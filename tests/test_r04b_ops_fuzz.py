@@ -264,3 +264,37 @@ def test_event_transitions_matches_bruteforce(spark, rows):
         for r in event_transitions(df).collect()
     }
     assert got == expect
+
+
+@ITER_SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=20
+    )
+)
+def test_scc_matches_bruteforce(spark, edges):
+    from kgspark.ops.graph_algs import scc
+
+    e = {(str(a), str(b)) for a, b in edges if a != b}
+    if not e:
+        return
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    adj: dict = {n: set() for n in nodes}
+    for a, b in e:
+        adj[a].add(b)
+    reach = {}
+    for n in nodes:
+        seen, stack = set(), [n]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        reach[n] = seen
+    expect = {
+        n: min({w for w in reach[n] if n in reach[w]} | {n}) for n in nodes
+    }
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r["name"]: r["scc_id"] for r in scc(df, max_rounds=20).collect()}
+    assert got == expect
