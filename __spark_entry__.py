@@ -6318,10 +6318,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         # --- NEW in r04 after the window froze: front in r05 with the
         #     r02 list (never driver-checked until then) ---
-        # r05 ROTATION PLAN (written r04; 55 candidates for 50 slots).
+        # r05 ROTATION PLAN (written r04; 56 candidates for 50 slots).
         # Priority order for the final window:
-        #   1. The 27 never-driver-checked r04 queries (everything from
-        #      bloom_decontam_docs to the end of this dict) — without an
+        #   1. The 28 never-driver-checked r04 queries (everything from
+        #      bloom_decontam_docs to the end of this dict, incl. scc_tpch) — without an
         #      r05 row they end the project with pytest-only evidence.
         #   2. The r02-latest re-front list (s1_scan_projection ..
         #      nfc_normalize, 28 entries above) MINUS the ones with an
