@@ -6160,24 +6160,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the first 50 keys each round.
-    # Round-4 window = pure verification-debt paydown (VERDICT r03 next-#2):
-    #   (a) media_decode_features — r03's only hard error (raw array column
-    #       crashed the driver canonicalizer; now to_json'd) — plus
-    #       mp4_frame_decode, NEW in r04 (the former stub, real for MJPEG);
-    #   (b) the 13 late-r03 operators that never had a driver row;
-    #   (c) the 14 r01-only greens evicted in r03 (two rounds stale);
-    #   (d) bpe_encode_docs + bm25_docs, whose underlying code changed this
-    #       round (driver-local bpe_train default; bm25_rank literal-binding
-    #       fix) — a fresh hard row over the new code paths;
-    #   (e) 19 r02 greens rotated back in before they age out.
-    # The 28 remaining r02-latest greens (first block behind the window, in
-    # order) are the r05 re-front list; the r03/r04 greens behind them are
-    # one round fresh and can wait.
+    # r05 FINAL WINDOW — executes the rotation plan written in r04 exactly:
+    #   1. The 28 r04-built operators that had never had a driver row
+    #      (bloom_decontam_docs .. scc_tpch) — their only gap was window
+    #      arithmetic; this closes it.
+    #   2. The r02-latest re-front list (22 of 30): x6_mentions ..
+    #      nfc_normalize, i.e. the full list MINUS the five entries with an
+    #      independent hard pin (s1_scan_projection / p2_rename_projection:
+    #      golden-parity pytest, code unchanged since r02; kmv_distinct /
+    #      session_window_batch / simhash_portable: value-hash oracles
+    #      rehearsed on every pytest run) and MINUS the three
+    #      oldest-coverage builtin demos (having_agg, pivot_events,
+    #      unpivot_part — every-pytest DuckDB-oracle rehearsal stands as
+    #      their pin). 28 + 22 = 50 slots exactly.
+    # The eight dropped entries and their standing pins are tabulated in
+    # BENCH/BASELINE.md ("final freshness ledger"). Everything else behind
+    # the window is r03- or r04-driver-green (two-round freshness policy).
     return {
-        # --- (a) r03 hard-error fix + NEW r04 operator ---
+        # --- window 1-28: first-ever driver rows for the r04b operators ---
+        "bloom_decontam_docs": _bloom_decontam_docs,
+        "dsir_scores_docs": _dsir_scores_docs,
+        "weighted_sample_docs": _weighted_sample_docs,
+        "stupid_backoff_docs": _stupid_backoff_docs,
+        "readability_docs": _readability_docs,
+        "leakage_safe_split_docs": _leakage_safe_split_docs,
+        "split_sentences_docs": _split_sentences_docs,
+        "hits_tpch": _hits_tpch,
+        "fuse_attributes_kg": _fuse_attributes_kg,
+        "edge_type_check_kg": _edge_type_check_kg,
+        "infer_types_kg": _infer_types_kg,
+        "path_features_kg": _path_features_kg,
+        "token_entropy_docs": _token_entropy_docs,
+        "crawl_waves_docs": _crawl_waves_docs,
+        "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
+        "pq_topk_emb": _pq_topk_emb,
+        "distmult_train_kg": _distmult_train_kg,
+        "hll_distinct_events": _hll_distinct_events,
+        "textrank_docs": _textrank_docs,
+        "rake_docs": _rake_docs,
+        "entity_pmi_docs": _entity_pmi_docs,
+        "wl_roles_tpch": _wl_roles_tpch,
+        "graph_stats_tpch": _graph_stats_tpch,
+        "kwic_docs": _kwic_docs,
+        "event_transitions": _event_transitions,
+        "decontaminate_spans_docs": _decontaminate_spans_docs,
+        "ngram_novelty_docs": _ngram_novelty_docs,
+        "scc_tpch": _scc_tpch,
+        # --- window 29-50: r02-latest re-fronts (three rounds stale) ---
+        "x6_mentions": _x6_mentions,
+        "posexplode_tokens": _posexplode_tokens,
+        "f_string_funcs2": _f_string_funcs2,
+        "bitwise_ops": _bitwise_ops,
+        "repetition_stats": _repetition_stats,
+        "scalar_subquery": _scalar_subquery,
+        "null_safe_eq": _null_safe_eq,
+        "string_agg_groups": _string_agg_groups,
+        "stratified_sample_docs": _stratified_sample_docs,
+        "hash_sample_rate": _hash_sample_rate,
+        "grouping_sets_id": _grouping_sets_id,
+        "stats_moments": _stats_moments,
+        "window_frames": _window_frames,
+        "top_terms_tfidf": _top_terms,
+        "motif_2hop": _motif_2hop,
+        "degree_histogram": _degree_histogram,
+        "approx_quantile_sampled": _approx_quantile_sampled,
+        "chunk_docs": _chunk_docs,
+        "collocations_docs": _collocations_docs,
+        "redact_pii_docs": _redact_pii_docs,
+        "f_higher_order": _f_higher_order,
+        "nfc_normalize": _nfc_normalize,
+        # --- behind the window: the 8 entries the 50-slot arithmetic drops,
+        #     each with an independent standing pin (see BENCH/BASELINE.md
+        #     final freshness ledger) ---
+        "s1_scan_projection": _s1_scan_projection,
+        "p2_rename_projection": _p2_rename_projection,
+        "kmv_distinct": _kmv_distinct,
+        "session_window_batch": _session_window_batch,
+        "simhash_portable": _simhash_portable,
+        "having_agg": _having_agg,
+        "pivot_events": _pivot_events,
+        "unpivot_part": _unpivot_part,
+        # --- behind the window: r04-driver-green (one round fresh) ---
         "media_decode_features": _media_decode_features,
         "mp4_frame_decode": _mp4_frame_decode,
-        # --- (b) late-r03 operators: first-ever driver rows ---
         "mp4_container_meta": _mp4_container_meta,
         "audiohash_neardup": _audiohash_neardup,
         "unigram_logprob_docs": _unigram_logprob_docs,
@@ -6191,7 +6256,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_alignment_docs": _span_alignment_docs,
         "script_profile_docs": _script_profile_docs,
         "encoding_quality_docs": _encoding_quality_docs,
-        # --- (c) r01-only greens: re-front (registry-local builtin demos) ---
         "q5_region_volume": _q5_region_volume,
         "semi_anti_customers": _semi_anti_customers,
         "window_analytics": _window_analytics,
@@ -6206,11 +6270,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_keys": _set_ops_keys,
         "cube_events": _cube_events,
         "f_date_funcs": _f_date_funcs,
-        # --- (d) changed-code refresh: new bpe_train default path, bm25
-        #     term-binding fix ---
         "bpe_encode_docs": _bpe_encode_docs,
         "bm25_docs": _bm25_docs,
-        # --- (e) r02 greens rotated back into the window ---
         "kg_nodes_tpch": _kg_nodes_tpch,
         "kg_edges_tpch": _kg_edges_tpch,
         "cc_components_tpch": _cc_components_tpch,
@@ -6228,47 +6289,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "p3_blank_filter": _p3_blank_filter,
         "url_normalize": _url_normalize,
-        # --- (f) brand-new r04 operators: never driver-checked, so they MUST
-        #     take window slots (the r03 lesson); s1_scan_projection /
-        #     p2_rename_projection yielded — both r02-green, code unchanged,
-        #     and independently pinned by the golden-parity pytest every
-        #     session ---
         "kmeans_clusters_emb": _kmeans_clusters_emb,
         "semdedup_emb": _semdedup_emb,
-        # --- behind the window: r02-latest greens — the r05 re-front list,
-        #     oldest coverage first ---
-        "s1_scan_projection": _s1_scan_projection,
-        "p2_rename_projection": _p2_rename_projection,
-        "x6_mentions": _x6_mentions,
-        "having_agg": _having_agg,
-        "pivot_events": _pivot_events,
-        "unpivot_part": _unpivot_part,
-        "posexplode_tokens": _posexplode_tokens,
-        "f_string_funcs2": _f_string_funcs2,
-        "bitwise_ops": _bitwise_ops,
-        "repetition_stats": _repetition_stats,
-        "scalar_subquery": _scalar_subquery,
-        "null_safe_eq": _null_safe_eq,
-        "string_agg_groups": _string_agg_groups,
-        "stratified_sample_docs": _stratified_sample_docs,
-        "hash_sample_rate": _hash_sample_rate,
-        "session_window_batch": _session_window_batch,
-        "simhash_portable": _simhash_portable,
-        "grouping_sets_id": _grouping_sets_id,
-        "stats_moments": _stats_moments,
-        "kmv_distinct": _kmv_distinct,
-        "window_frames": _window_frames,
-        "top_terms_tfidf": _top_terms,
-        "motif_2hop": _motif_2hop,
-        "degree_histogram": _degree_histogram,
-        "approx_quantile_sampled": _approx_quantile_sampled,
-        "chunk_docs": _chunk_docs,
-        "collocations_docs": _collocations_docs,
-        "redact_pii_docs": _redact_pii_docs,
-        "f_higher_order": _f_higher_order,
-        "nfc_normalize": _nfc_normalize,
-        # --- behind the window: r03-green / r03-witnessed (one round fresh;
-        #     rotate in r05 as slots allow) ---
+        # --- behind the window: r03-driver-green / r03-witnessed ---
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_docs": _simhash_docs,
         "openie_web_corpus": _openie_web_corpus,
@@ -6316,52 +6339,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "stream_window_counts": _stream_window_counts,
         "q3_shipping_priority": _q3_shipping_priority,
-        # --- NEW in r04 after the window froze: front in r05 with the
-        #     r02 list (never driver-checked until then) ---
-        # r05 ROTATION PLAN (written r04; 56 candidates for 50 slots).
-        # Priority order for the final window:
-        #   1. The 28 never-driver-checked r04 queries (everything from
-        #      bloom_decontam_docs to the end of this dict, incl. scc_tpch) — without an
-        #      r05 row they end the project with pytest-only evidence.
-        #   2. The r02-latest re-front list (s1_scan_projection ..
-        #      nfc_normalize, 28 entries above) MINUS the ones with an
-        #      independent hard pin: s1_scan_projection /
-        #      p2_rename_projection (golden-parity pytest, code
-        #      unchanged), kmv_distinct / session_window_batch /
-        #      simhash_portable (value-hash oracles rehearsed every
-        #      pytest run). That trims 2+ slots; drop oldest-coverage
-        #      demos (having_agg, pivot_events, unpivot_part) last if
-        #      the count still exceeds 50.
-        # r03/r04-green queries behind the window stay within the
-        # two-round freshness policy without slots.
-        "bloom_decontam_docs": _bloom_decontam_docs,
-        "dsir_scores_docs": _dsir_scores_docs,
-        "weighted_sample_docs": _weighted_sample_docs,
-        "stupid_backoff_docs": _stupid_backoff_docs,
-        "readability_docs": _readability_docs,
-        "leakage_safe_split_docs": _leakage_safe_split_docs,
-        "split_sentences_docs": _split_sentences_docs,
-        "hits_tpch": _hits_tpch,
-        "fuse_attributes_kg": _fuse_attributes_kg,
-        "edge_type_check_kg": _edge_type_check_kg,
-        "infer_types_kg": _infer_types_kg,
-        "path_features_kg": _path_features_kg,
-        "token_entropy_docs": _token_entropy_docs,
-        "crawl_waves_docs": _crawl_waves_docs,
-        "cm_heavy_hitters_docs": _cm_heavy_hitters_docs,
-        "pq_topk_emb": _pq_topk_emb,
-        "distmult_train_kg": _distmult_train_kg,
-        "hll_distinct_events": _hll_distinct_events,
-        "textrank_docs": _textrank_docs,
-        "rake_docs": _rake_docs,
-        "entity_pmi_docs": _entity_pmi_docs,
-        "wl_roles_tpch": _wl_roles_tpch,
-        "graph_stats_tpch": _graph_stats_tpch,
-        "kwic_docs": _kwic_docs,
-        "event_transitions": _event_transitions,
-        "decontaminate_spans_docs": _decontaminate_spans_docs,
-        "ngram_novelty_docs": _ngram_novelty_docs,
-        "scc_tpch": _scc_tpch,
     }
 
 
