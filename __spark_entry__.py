@@ -4740,14 +4740,20 @@ def _tpch_name_graph(spark, sf):
 def _edge_type_check_kg(spark, sf):
     """Ontology domain/range validation (construct/typecheck
     .check_edge_types): the spec deliberately covers only
-    (IN_NATION, Customer, Nation), so every Supplier IN_NATION edge
-    surfaces as a 'signature' violation and every IN_REGION edge as
-    'unknown_rel' — both violation categories exercised, deterministic,
-    non-empty. Broadcast spec joins; the edge table never shuffles for
-    the spec."""
+    (IN_NATION, Customer, Nation) and the node table deliberately drops
+    even-suppkey suppliers, so odd-suppkey Supplier IN_NATION edges
+    surface as 'signature' violations, even-suppkey ones as
+    'unlabeled_endpoint' (dangling src — NULL src_label), and every
+    IN_REGION edge as 'unknown_rel' — all three violation categories
+    exercised, deterministic, non-empty. Broadcast spec joins; the edge
+    table never shuffles for the spec."""
     from kgspark.construct.typecheck import check_edge_types
 
     nodes, edges = _tpch_name_graph(spark, sf)
+    sup = _t(spark, sf, "supplier").filter(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_name").alias("name")
+    )
+    nodes = nodes.join(sup, "name", "left_anti")
     spec = [("IN_NATION", "Customer", "Nation")]
     return check_edge_types(
         nodes, edges, spec, node_id="name", label="label", src="src", rel="rel", dst="dst"
@@ -4757,7 +4763,7 @@ def _edge_type_check_kg(spark, sf):
 _EDGE_TYPE_CHECK_SQL = """
 WITH nodes AS (
   SELECT 'Customer' AS label, c_name AS name FROM customer
-  UNION ALL SELECT 'Supplier', s_name FROM supplier
+  UNION ALL SELECT 'Supplier', s_name FROM supplier WHERE s_suppkey % 2 <> 0
   UNION ALL SELECT 'Nation', n_name FROM nation
   UNION ALL SELECT 'Region', r_name FROM region
 ),
@@ -4771,11 +4777,14 @@ edges AS (
 ),
 typed AS (
   SELECT e.src, e.rel, e.dst, ns.label AS src_label, nd.label AS dst_label
-  FROM edges e JOIN nodes ns ON e.src = ns.name JOIN nodes nd ON e.dst = nd.name
+  FROM edges e
+  LEFT JOIN nodes ns ON e.src = ns.name
+  LEFT JOIN nodes nd ON e.dst = nd.name
 ),
 spec AS (SELECT 'IN_NATION' AS rel, 'Customer' AS dom, 'Nation' AS rng)
 SELECT src, rel, dst, src_label, dst_label,
-       CASE WHEN rel NOT IN (SELECT rel FROM spec) THEN 'unknown_rel'
+       CASE WHEN src_label IS NULL OR dst_label IS NULL THEN 'unlabeled_endpoint'
+            WHEN rel NOT IN (SELECT rel FROM spec) THEN 'unknown_rel'
             ELSE 'signature' END AS violation
 FROM typed t
 WHERE NOT EXISTS (
@@ -4895,9 +4904,10 @@ per_doc AS (
   FROM tc GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       round(ln(n_tokens) - s / 1000.0 / n_tokens, 6) AS entropy,
+       round(greatest(ln(n_tokens) - s / 1000.0 / n_tokens, 0.0), 6) AS entropy,
        CASE WHEN n_tokens <= 1 THEN 0.0
-            ELSE round((ln(n_tokens) - s / 1000.0 / n_tokens) / ln(n_tokens), 6)
+            ELSE round(greatest(ln(n_tokens) - s / 1000.0 / n_tokens, 0.0)
+                       / ln(n_tokens), 6)
        END AS entropy_norm
 FROM per_doc
 """

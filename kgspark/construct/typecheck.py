@@ -54,21 +54,28 @@ def check_edge_types(
     may carry several (e.g. IN_NATION accepts Customer and Supplier
     subjects). An edge passes if ANY spec row matches its
     (rel, src label, dst label); otherwise it is returned with
-    ``violation`` = ``'unknown_rel'`` (the predicate has no signature at
+    ``violation`` = ``'unlabeled_endpoint'`` (src or dst has no row in
+    ``nodes`` — a dangling reference, the classic web-extraction defect,
+    reported first because a signature cannot even be evaluated without
+    both labels), ``'unknown_rel'`` (the predicate has no signature at
     all) or ``'signature'`` (known predicate, wrong endpoint types).
+    Dangling endpoints surface with a NULL ``src_label``/``dst_label``
+    rather than silently passing, so an empty result really does mean a
+    type-sound, endpoint-complete graph.
 
     Output: (src, rel, dst, src_label, dst_label, violation) — violations
-    only; an empty result is a type-sound graph. Plan: two equi-joins to
-    type the endpoints (co-located with a bucketed nodes table), then
+    only; an empty result is a type-sound graph. Plan: two LEFT
+    equi-joins to type the endpoints (co-located with a bucketed nodes
+    table; left so dangling endpoints survive to be reported), then
     broadcast left joins against the spec — the edge table shuffles at
     most for the node joins, never for the spec."""
     sp = _spec_df(edges.sparkSession, spec).localCheckpoint()
     lab = nodes.select(F.col(node_id).alias("_nid"), F.col(label).alias("_lab"))
     typed = (
         edges.select(F.col(src).alias("src"), F.col(rel).alias("rel"), F.col(dst).alias("dst"))
-        .join(lab.withColumnRenamed("_nid", "src"), "src")
+        .join(lab.withColumnRenamed("_nid", "src"), "src", "left")
         .withColumnRenamed("_lab", "src_label")
-        .join(lab.withColumnRenamed("_nid", "dst"), "dst")
+        .join(lab.withColumnRenamed("_nid", "dst"), "dst", "left")
         .withColumnRenamed("_lab", "dst_label")
     )
     sig = sp.select("rel", F.col("domain").alias("src_label"), F.col("range").alias("dst_label")).withColumn("_sig_ok", F.lit(True))
@@ -83,7 +90,11 @@ def check_edge_types(
             "dst",
             "src_label",
             "dst_label",
-            F.when(F.col("_rel_known").isNull(), F.lit("unknown_rel"))
+            F.when(
+                F.col("src_label").isNull() | F.col("dst_label").isNull(),
+                F.lit("unlabeled_endpoint"),
+            )
+            .when(F.col("_rel_known").isNull(), F.lit("unknown_rel"))
             .otherwise(F.lit("signature"))
             .alias("violation"),
         )

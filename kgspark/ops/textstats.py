@@ -914,8 +914,12 @@ def token_entropy(
     millinat, rounded ONCE per term in a generated column — so the
     per-doc sum is exact integer math in any partition order; the float
     division and single ln(N) happen once per row at the end, rounded to
-    6 decimals. Shuffle shape: one map-side-combinable (doc, term) count,
-    one per-doc aggregate. No Python anywhere.
+    6 decimals. Per-term millinat rounding can land up to ~5e-4 BELOW
+    zero on all-identical-token docs (N * round(ln N) millinats slightly
+    exceeds N ln N), so the value is clamped at 0.0 before the final
+    rounding — the documented [0, 1] contract holds exactly. Shuffle
+    shape: one map-side-combinable (doc, term) count, one per-doc
+    aggregate. No Python anywhere.
     """
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
@@ -933,7 +937,10 @@ def token_entropy(
             (F.col("_c") * F.round(F.log(F.col("_c")) * 1000).cast("bigint"))
         ).alias("_s"),
     )
-    ent = F.log(F.col("n_tokens")) - F.col("_s") / 1000.0 / F.col("n_tokens")
+    ent = F.greatest(
+        F.log(F.col("n_tokens")) - F.col("_s") / 1000.0 / F.col("n_tokens"),
+        F.lit(0.0),
+    )
     return per_doc.select(
         id_col,
         "n_tokens",

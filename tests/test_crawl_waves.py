@@ -57,3 +57,9 @@ def test_partitioning_invariant_and_salt_redraw(spark, frontier):
     c = sorted(map(tuple, crawl_waves(frontier, salt="wave-v2").collect()))
     assert {t[:1] for t in a} == {t[:1] for t in c}  # same urls survive
     assert a != c  # but the draw changed some host-a order
+
+
+def test_reserved_column_collision_raises(spark, frontier):
+    for col in ("host", "slot", "wave"):
+        with pytest.raises(ValueError, match="rename or drop"):
+            crawl_waves(frontier.withColumn(col, frontier.prio))

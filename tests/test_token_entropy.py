@@ -15,6 +15,8 @@ DOCS = [
     (4, "a a a a a a a a a a a a b"),                # heavy skew
     (5, None),                                       # no row emitted
     (6, "  Mixed   CASE  mixed case  "),             # lowering + ws collapse
+    (7, "x x x"),                                    # millinat rounding would
+    # push raw entropy ~ -3.9e-4 below zero; the clamp keeps the [0,1] contract
 ]
 
 
@@ -22,8 +24,9 @@ def _replay(text):
     toks = [t for t in text.lower().split() if t]
     n = len(toks)
     s = sum(c * round(math.log(c) * 1000) for c in Counter(toks).values())
-    ent = round(math.log(n) - s / 1000.0 / n, 6)
-    norm = 0.0 if n <= 1 else round((math.log(n) - s / 1000.0 / n) / math.log(n), 6)
+    raw = max(math.log(n) - s / 1000.0 / n, 0.0)
+    ent = round(raw, 6)
+    norm = 0.0 if n <= 1 else round(raw / math.log(n), 6)
     return n, ent, norm
 
 
@@ -43,6 +46,9 @@ def test_exact_replay_and_discrimination(spark):
     assert got[3] == (1, 0.0, 0.0)
     # case-folding + whitespace collapse: "mixed case" twice each
     assert got[6][0] == 4 and got[6][2] < 1.0
+    # clamp: N identical tokens is exactly 0.0, never -0.000388
+    assert got[7] == (3, 0.0, 0.0)
+    assert all(v[1] >= 0.0 and 0.0 <= v[2] <= 1.0 for v in got.values())
 
 
 def test_partitioning_invariant(spark):

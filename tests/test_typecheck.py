@@ -50,6 +50,28 @@ def test_violations_found_and_categorised(spark):
     }
 
 
+def test_dangling_endpoints_are_reported_not_dropped(spark):
+    nodes, _ = _frames(spark)
+    edges = spark.createDataFrame(
+        [
+            (1, "TREATED_BY", 99),   # dst not in nodes
+            (98, "TREATED_BY", 2),   # src not in nodes
+            (97, "NO_SUCH_REL", 96), # both missing AND unknown rel:
+            (1, "TREATED_BY", 2),    # unlabeled wins (can't type-check)
+        ],
+        ["src_id", "rel", "dst_id"],
+    )
+    rows = {
+        (r["src"], r["dst"]): (r["violation"], r["src_label"], r["dst_label"])
+        for r in check_edge_types(nodes, edges, SPEC).collect()
+    }
+    assert rows == {
+        (1, 99): ("unlabeled_endpoint", "Disease", None),
+        (98, 2): ("unlabeled_endpoint", None, "Drug"),
+        (97, 96): ("unlabeled_endpoint", None, None),
+    }
+
+
 def test_sound_graph_is_empty(spark):
     nodes, edges = _frames(spark)
     ok_edges = edges.filter("NOT (src_id = 2 AND dst_id = 2) AND rel != 'LOCATED_IN' "
