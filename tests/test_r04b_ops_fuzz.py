@@ -14,6 +14,14 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _round6(x: float) -> float:
+    """Spark's F.round semantics (java BigDecimal HALF_UP over the double's
+    shortest decimal repr) — Python's round() is banker's and diverges on
+    exact ties like 406/1792 = 0.2265625 (found by the PMI fuzz)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -141,7 +149,7 @@ def test_entity_pmi_matches_bruteforce(spark, rows, cap):
     for (a, b), c in nab.items():
         pmi = r(c) + r(nd) - r(na[a]) - r(na[b])
         dnm = r(nd) - r(c)
-        expect[(a, b)] = (c, pmi, 1.0 if dnm == 0 else round(pmi / dnm, 6))
+        expect[(a, b)] = (c, pmi, 1.0 if dnm == 0 else _round6(pmi / dnm))
 
     df = spark.createDataFrame(rows, "doc_id long, entity string")
     got = {
@@ -207,7 +215,7 @@ def test_graph_stats_matches_bruteforce(spark, edges):
     assort = (
         0.0
         if vx == 0 or vy == 0
-        else round((m * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)), 6)
+        else _round6((m * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)))
     )
     df = spark.createDataFrame(list(edges), "src long, dst long")
     row = graph_stats(df).collect()[0]
