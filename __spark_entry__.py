@@ -5924,8 +5924,12 @@ regs AS (
   FROM cells GROUP BY event_type, idx
 ),
 agg AS (
+  -- integer shift, not CAST(power(2.0,..) AS BIGINT): the double->bigint
+  -- cast rounds-to-nearest in DuckDB but truncates in Spark, and the
+  -- oracle should not depend on the terms happening to be exact powers
+  -- of two (ADVICE r04)
   SELECT event_type,
-         SUM(CAST(power(2.0, {b} - LEAST(maxrank, {b})) AS BIGINT)) AS s,
+         SUM(CAST(1 AS BIGINT) << ({b} - LEAST(maxrank, {b}))) AS s,
          COUNT(*) AS nreg
   FROM regs GROUP BY event_type
 )
