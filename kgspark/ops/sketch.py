@@ -308,8 +308,13 @@ def hll_estimate(
     m = 2**p
     b = _HLL_PREFIX_BITS - p
     alpha = _hll_alpha(m)
+    # integer shift, not pow(2.0,..).cast: double->bigint cast semantics
+    # (Spark truncates, other engines round) must stay out of the sum even
+    # though the terms happen to be exact powers of two (ADVICE r04)
     per_group = sketches.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), F.lit(b) - F.least("maxrank", F.lit(b))).cast("bigint")).alias("_s"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {b} - least(maxrank, {b}))")
+        ).alias("_s"),
         F.count(F.lit(1)).alias("_nreg"),
         F.max("idx").alias("_mi"),
     )

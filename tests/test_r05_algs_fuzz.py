@@ -14,6 +14,7 @@ import hashlib
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 ITER_SLOW = settings(
     max_examples=6,
@@ -142,3 +143,87 @@ def test_wl_matches_digest_replay_on_random_digraphs(spark, edges, rounds):
     df = spark.createDataFrame(e, "src string, dst string")
     got = {r["name"]: r["wl_label"] for r in wl_refine(df, rounds=rounds).collect()}
     assert got == _python_wl(e, rounds)
+
+
+def _hll_replay(values, p=6):
+    """Exact register + estimate replay of ops/sketch.hll_sketch/estimate."""
+    import math
+
+    b = 60 - p
+    m = 2**p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx, rest = h // 2**b, h % 2**b
+        rk = (b + 1) if rest == 0 else b - rest.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rk)
+    s = sum(1 << (b - min(rk, b)) for rk in regs.values())
+    zeros = m - len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = (alpha * m * m * float(2**b)) / float(s + zeros * 2**b)
+    if zeros > 0 and raw <= 2.5 * m:
+        est = math.floor(math.log(m / zeros) * m)
+    else:
+        est = math.floor(raw)
+    return regs, est
+
+
+@ITER_SLOW
+@given(
+    values=st.lists(st.integers(0, 400), min_size=1, max_size=120),
+)
+def test_hll_registers_and_estimate_match_replay(spark, values):
+    from kgspark.ops.sketch import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame([(v,) for v in values], "user_id long").withColumn(
+        "g", F.lit("g")
+    )
+    sk = hll_sketch(df, "user_id", ["g"], p=6)
+    regs = {r["idx"]: r["maxrank"] for r in sk.collect()}
+    want_regs, want_est = _hll_replay(set(values))
+    assert regs == want_regs
+    got = hll_estimate(sk, ["g"], p=6).first()["est_distinct"]
+    # registers are exact integers; the floored float estimate may sit on a
+    # libm last-ulp boundary between JVM and CPython, so allow 1 unit
+    assert abs(got - want_est) <= 1
+
+
+def _cm_pos_py(value, j, width, salt="cm-v1"):
+    h = hashlib.md5(f"{salt}|{value}|{j}".encode()).hexdigest()[:15]
+    return int(h, 16) % width
+
+
+@ITER_SLOW
+@given(
+    tokens=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=80),
+    depth=st.integers(1, 4),
+    width=st.sampled_from([8, 64, 1024]),
+)
+def test_cm_sketch_grid_and_queries_match_replay(spark, tokens, depth, width):
+    from collections import Counter
+
+    from kgspark.ops.sketch import cm_query, cm_sketch
+
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    grid = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in cm_sketch(df, "tok", depth=depth, width=width).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for t in tokens:
+        for j in range(depth):
+            k = (j, _cm_pos_py(t, j, width))
+            want[k] = want.get(k, 0) + 1
+    assert grid == want
+    truth = Counter(tokens)
+    qdf = spark.createDataFrame([(t,) for t in "abcdefghzz"], "tok string")
+    sketch = cm_sketch(df, "tok", depth=depth, width=width)
+    est = {
+        r["value"]: r["est_count"]
+        for r in cm_query(sketch, qdf, "tok", depth=depth, width=width).collect()
+    }
+    for t, e in est.items():
+        assert e >= truth.get(t, 0)  # never undercounts
+        assert e == min(
+            want.get((j, _cm_pos_py(t, j, width)), 0) for j in range(depth)
+        )
