@@ -1756,7 +1756,8 @@ keyed AS (
          CASE WHEN w IS NOT NULL AND NOT isnan(w) AND w > 0 THEN
            CAST(round(ln((CAST(({expansion}) % 1000000000000 AS DOUBLE) + 0.5)
                          / 1000000000000.0)
-                      / (w / (SELECT m FROM wmax)) * 1000000000.0) AS BIGINT)
+                      / greatest(w / (SELECT m FROM wmax), 1.0e-8)
+                      * 1000000000.0) AS BIGINT)
          END AS wsample_key
   FROM raw
 ),

@@ -94,7 +94,12 @@ def weighted_sample_keys(
     selected). Rows with NULL, NaN, or non-positive weight get a NULL
     key — filter or assert upstream; silently ranking them would be a
     correctness trap (NaN comparisons are treacherous: ``NaN > 0`` is
-    true in Spark). Plan shape: the max-weight aggregate is one 1-row
+    true in Spark). Pathological weight RATIOS are floored: w/wmax
+    saturates at 1e-8 (below that the division can underflow to 0 —
+    ANSI divide-by-zero — or the key overflow the bigint cast), so rows
+    lighter than 1e-8 of the max share the 1e-8 scale and order by
+    their hash draw u: deterministic, effectively-never-selected, and
+    crash-free at any weight spread. Plan shape: the max-weight aggregate is one 1-row
     broadcast (the resample_temperature pattern — the corpus itself
     never shuffles); the top-k is the caller's (global
     ``orderBy(desc).limit(k)`` for driver-scale k, or
@@ -121,9 +126,8 @@ def weighted_sample_keys(
     wmax = df.select(
         F.max(F.when(valid, w)).alias("_wmax")
     )
-    key = F.round(
-        F.log(u) / (w / F.col("_wmax")) * F.lit(1_000_000_000.0)
-    ).cast("bigint")
+    wn = F.greatest(w / F.col("_wmax"), F.lit(1.0e-8))
+    key = F.round(F.log(u) / wn * F.lit(1_000_000_000.0)).cast("bigint")
     return (
         df.crossJoin(F.broadcast(wmax))
         .withColumn(
